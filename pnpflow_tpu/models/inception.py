@@ -1,0 +1,199 @@
+"""InceptionV3 FID feature network in Flax (NHWC).
+
+Port of the pytorch-fid InceptionV3 the reference embeds
+(pnpflow/models.py:501-821): torchvision InceptionV3 trunk with the
+FID-specific patched heads (InceptionA with fixed pool-proj 64/.../
+InceptionC 7x7 towers / InceptionE-1 avg-pool variant) and the published
+`pt_inception-2015-12-05` weights.  Output: 2048-d pool3 features.
+
+Weights cannot be downloaded in a zero-egress environment; this module
+loads a converted weight file from ``{output_root}/model/inception_fid.npz``
+(see utils/torch_convert.convert_inception for the one-off conversion) and
+returns ``None`` from :func:`get_inception_feature_fn` when absent so
+callers can fall back.
+
+Input convention matches pytorch-fid: images in [0, 1], resized bilinearly
+to 299x299 (models.py:739-748), scaled to [-1, 1].
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_CACHE: dict = {}
+
+
+def _conv_bn(x, p, stride=1, pad=((0, 0), (0, 0))):
+    """Conv (no bias) + BatchNorm(eps 0.001) + relu — torchvision
+    BasicConv2d."""
+    y = lax.conv_general_dilated(
+        x, p["w"], (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    scale = p["gamma"] / np.sqrt(p["var"] + 1e-3)
+    y = y * scale[None, None, None, :] + (
+        p["beta"] - p["mean"] * scale
+    )[None, None, None, :]
+    return jax.nn.relu(y)
+
+
+def _pad_hw(k):
+    return ((k[0], k[0]), (k[1], k[1]))
+
+
+def _maxpool3s2(x):
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def _avgpool3s1p1(x):
+    s = lax.reduce_window(
+        x, 0.0, lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    # count_include_pad=False semantics (torchvision InceptionA/C/E use
+    # count_include_pad=False): divide by the actual window size
+    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
+    cnt = lax.reduce_window(
+        ones, 0.0, lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    return s / cnt
+
+
+def _inception_a(x, p):
+    b1 = _conv_bn(x, p["b1x1"])
+    b5 = _conv_bn(x, p["b5_1"])
+    b5 = _conv_bn(b5, p["b5_2"], pad=_pad_hw((2, 2)))
+    b3 = _conv_bn(x, p["b3_1"])
+    b3 = _conv_bn(b3, p["b3_2"], pad=_pad_hw((1, 1)))
+    b3 = _conv_bn(b3, p["b3_3"], pad=_pad_hw((1, 1)))
+    bp = _avgpool3s1p1(x)
+    bp = _conv_bn(bp, p["bpool"])
+    return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+def _inception_b(x, p):
+    b3 = _conv_bn(x, p["b3"], stride=2)
+    bd = _conv_bn(x, p["bd_1"])
+    bd = _conv_bn(bd, p["bd_2"], pad=_pad_hw((1, 1)))
+    bd = _conv_bn(bd, p["bd_3"], stride=2)
+    bp = _maxpool3s2(x)
+    return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+def _inception_c(x, p):
+    b1 = _conv_bn(x, p["b1x1"])
+    b7 = _conv_bn(x, p["b7_1"])
+    b7 = _conv_bn(b7, p["b7_2"], pad=_pad_hw((0, 3)))
+    b7 = _conv_bn(b7, p["b7_3"], pad=_pad_hw((3, 0)))
+    bd = _conv_bn(x, p["bd_1"])
+    bd = _conv_bn(bd, p["bd_2"], pad=_pad_hw((3, 0)))
+    bd = _conv_bn(bd, p["bd_3"], pad=_pad_hw((0, 3)))
+    bd = _conv_bn(bd, p["bd_4"], pad=_pad_hw((3, 0)))
+    bd = _conv_bn(bd, p["bd_5"], pad=_pad_hw((0, 3)))
+    bp = _avgpool3s1p1(x)
+    bp = _conv_bn(bp, p["bpool"])
+    return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+def _inception_d(x, p):
+    b3 = _conv_bn(x, p["b3_1"])
+    b3 = _conv_bn(b3, p["b3_2"], stride=2)
+    b7 = _conv_bn(x, p["b7_1"])
+    b7 = _conv_bn(b7, p["b7_2"], pad=_pad_hw((0, 3)))
+    b7 = _conv_bn(b7, p["b7_3"], pad=_pad_hw((3, 0)))
+    b7 = _conv_bn(b7, p["b7_4"], stride=2)
+    bp = _maxpool3s2(x)
+    return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+def _inception_e(x, p, pool: str):
+    b1 = _conv_bn(x, p["b1x1"])
+    b3 = _conv_bn(x, p["b3_1"])
+    b3a = _conv_bn(b3, p["b3_2a"], pad=_pad_hw((0, 1)))
+    b3b = _conv_bn(b3, p["b3_2b"], pad=_pad_hw((1, 0)))
+    b3 = jnp.concatenate([b3a, b3b], axis=-1)
+    bd = _conv_bn(x, p["bd_1"])
+    bd = _conv_bn(bd, p["bd_2"], pad=_pad_hw((1, 1)))
+    bda = _conv_bn(bd, p["bd_3a"], pad=_pad_hw((0, 1)))
+    bdb = _conv_bn(bd, p["bd_3b"], pad=_pad_hw((1, 0)))
+    bd = jnp.concatenate([bda, bdb], axis=-1)
+    if pool == "avg":
+        bp = _avgpool3s1p1(x)
+    else:  # FID InceptionE_2 uses max pool (models.py:797-807)
+        bp = lax.reduce_window(
+            x, -jnp.inf, lax.max, (1, 3, 3, 1), (1, 1, 1, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+    bp = _conv_bn(bp, p["bpool"])
+    return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+def inception_pool3(params, x01: jnp.ndarray) -> jnp.ndarray:
+    """2048-d FID features of NHWC images in [0, 1]."""
+    b = x01.shape[0]
+    x = jax.image.resize(x01, (b, 299, 299, x01.shape[-1]), "bilinear")
+    if x.shape[-1] == 1:
+        x = jnp.tile(x, (1, 1, 1, 3))
+    x = 2.0 * x - 1.0
+
+    p = params
+    x = _conv_bn(x, p["c1"], stride=2)
+    x = _conv_bn(x, p["c2"])
+    x = _conv_bn(x, p["c3"], pad=_pad_hw((1, 1)))
+    x = _maxpool3s2(x)
+    x = _conv_bn(x, p["c4"])
+    x = _conv_bn(x, p["c5"])
+    x = _maxpool3s2(x)
+    x = _inception_a(x, p["a1"])
+    x = _inception_a(x, p["a2"])
+    x = _inception_a(x, p["a3"])
+    x = _inception_b(x, p["b"])
+    x = _inception_c(x, p["c_1"])
+    x = _inception_c(x, p["c_2"])
+    x = _inception_c(x, p["c_3"])
+    x = _inception_c(x, p["c_4"])
+    x = _inception_d(x, p["d"])
+    x = _inception_e(x, p["e1"], pool="avg")
+    x = _inception_e(x, p["e2"], pool="max")
+    return jnp.mean(x, axis=(1, 2))
+
+
+def load_inception_params(path: str):
+    """Load converted npz (flat 'block/leaf' keys) into the nested dict."""
+    flat = np.load(path)
+    tree: dict = {}
+    for key in flat.files:
+        node = tree
+        parts = key.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = jnp.asarray(flat[key])
+    return tree
+
+
+def get_inception_feature_fn(args, batch: int = 50):
+    """Jitted (N, H, W, C)[0,1] -> (N, 2048) feature fn, or None if the
+    converted weight file is missing."""
+    path = os.path.join(args.output_root, "model", "inception_fid.npz")
+    if not os.path.exists(path):
+        return None
+    if path not in _CACHE:
+        params = load_inception_params(path)
+        fwd = jax.jit(lambda x: inception_pool3(params, x))
+
+        def feature_fn(x01):
+            outs = []
+            for i in range(0, x01.shape[0], batch):
+                outs.append(fwd(x01[i : i + batch]))
+            return jnp.concatenate(outs, axis=0)
+
+        _CACHE[path] = feature_fn
+    return _CACHE[path]

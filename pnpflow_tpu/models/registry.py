@@ -1,0 +1,132 @@
+"""Model factory + checkpoint resolution (reference utils.py:170-240).
+
+``define_model(args)`` builds the Flax module for ``args.model``:
+  ot / indep / gradient_step -> VelocityUNet (utils.py:171-180)
+  rectified                  -> NCSN++       (utils.py:186-203)
+  diffusion                  -> DiffUNet     (utils.py:182-184)
+
+``build_model_bundle(args)`` additionally resolves parameters, searching (in
+order) a native msgpack checkpoint, then the published torch ``.pt`` (which
+is converted on the fly), then falling back to a seeded random init with a
+warning so smoke runs work without weights.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from pnpflow_tpu.models.unet import VelocityUNet
+from pnpflow_tpu.solvers.base import ModelBundle
+
+
+def define_model(args, dtype=jnp.float32):
+    if args.model in ("ot", "indep", "gradient_step"):
+        if args.dim_image % 8 == 0:
+            ch_mult, attn = (1, 2, 4, 8), (16, 8)
+        else:
+            # e.g. MNIST 28x28 (28 % 8 != 0): drop the deepest level
+            ch_mult, attn = (1, 2, 4), (14, 7)
+        return VelocityUNet(
+            input_channels=args.num_channels,
+            input_height=args.dim_image,
+            ch=32,
+            ch_mult=ch_mult,
+            num_res_blocks=6,
+            attn_resolutions=attn,
+            dtype=dtype,
+        )
+    if args.model == "rectified":
+        from pnpflow_tpu.models.ncsnpp import make_ncsnpp
+
+        return make_ncsnpp(args, dtype=dtype)
+    if args.model == "diffusion":
+        from pnpflow_tpu.models.diffunet import make_diffunet
+
+        return make_diffunet(args, dtype=dtype)
+    raise ValueError("Unknown model: {}".format(args.model))
+
+
+def init_params(module, args, seed: int = 0):
+    """Random init on the HOST cpu backend — initialization is a one-off
+    trace of the full forward; compiling it on a remote TPU wastes minutes.
+    The params transfer to the accelerator on first use."""
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    x = np.zeros(
+        (1, args.dim_image, args.dim_image, args.num_channels), np.float32
+    )
+    t = np.zeros((1,), np.float32)
+    if cpu is not None:
+        with jax.default_device(cpu):
+            return module.init(jax.random.PRNGKey(seed), x, t)
+    return module.init(jax.random.PRNGKey(seed), x, t)
+
+
+def checkpoint_paths(args):
+    base = os.path.join(
+        args.output_root, "model", args.dataset, args.model
+    )
+    return {
+        "msgpack": os.path.join(base, "model_final.msgpack"),
+        "torch": os.path.join(base, "model_final.pt"),
+    }
+
+
+def load_params(module, args, require: bool = False):
+    """Resolve parameters: native msgpack > torch .pt > random init."""
+    paths = checkpoint_paths(args)
+    if os.path.exists(paths["msgpack"]):
+        template = init_params(module, args)
+        with open(paths["msgpack"], "rb") as f:
+            return serialization.from_bytes(template, f.read())
+    if os.path.exists(paths["torch"]):
+        from pnpflow_tpu.utils.torch_convert import (
+            convert_unet_state_dict,
+            load_torch_checkpoint,
+        )
+
+        sd = load_torch_checkpoint(paths["torch"])
+        return convert_unet_state_dict(sd)
+    if require:
+        raise FileNotFoundError(
+            "No checkpoint at {} or {}".format(paths["msgpack"], paths["torch"])
+        )
+    warnings.warn(
+        "No checkpoint found for {}/{} — using random init".format(
+            args.dataset, args.model
+        )
+    )
+    return init_params(module, args, seed=int(getattr(args, "seed", 0) or 0))
+
+
+def save_params(params, path):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def build_model_bundle(args, dtype=jnp.float32, params=None,
+                       require_ckpt: bool = False) -> ModelBundle:
+    module = define_model(args, dtype=dtype)
+    if params is None:
+        params = load_params(module, args, require=require_ckpt)
+
+    kind = args.model
+    if kind == "rectified":
+        # t is scaled by 999 before hitting NCSN++ (reference
+        # pnp_flow.py:23-27, models/utils.py:106-135)
+        def apply(p, x, t):
+            return module.apply(p, x, t * 999.0)
+    else:
+        def apply(p, x, t):
+            return module.apply(p, x, t)
+
+    return ModelBundle(apply=apply, params=params, kind=kind)

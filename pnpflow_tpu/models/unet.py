@@ -1,0 +1,286 @@
+"""Velocity U-Net in Flax (NHWC, TPU-first).
+
+Architecture-equivalent to the reference DDPM-style U-Net
+(pnpflow/models.py:302-495, provenance sdeflow-light): Swish activations,
+GroupNorm(32, eps 1e-6), sinusoidal t-embedding -> 2-layer MLP, residual
+blocks with t-embedding projection, single-head self-attention at configured
+resolutions, skip-concat up path, variance-scaling fan_avg uniform init with
+near-zero-init final convs (models.py:165-250).
+
+TPU-first design choices (deliberate deviations from the torch layout):
+  * NHWC everywhere — the natural TPU conv layout; the checkpoint converter
+    (utils/torch_convert.py) transposes the published NCHW weights once.
+  * A ``dtype`` knob selects the compute precision (bf16 for the fast path);
+    parameters and normalization statistics stay fp32.
+  * Attention is an einsum over (B, HW, C) tokens (<=256 tokens); XLA maps it
+    straight onto the MXU — no need for sequence sharding.
+
+Used as the prior for models 'ot', 'indep' and 'gradient_step'
+(reference utils.py:170-180: ch=32, ch_mult=(1,2,4,8), num_res_blocks=6,
+attn_resolutions=(16,8), resamp_with_conv=True).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# variance_scaling fan_avg uniform — equals the reference's kaiming_uniform
+# fan_avg with gain=scale (models.py:180-216).
+def vs_init(scale: float = 1.0):
+    return nn.initializers.variance_scaling(
+        max(scale, 1e-10), "fan_avg", "uniform"
+    )
+
+
+def sinusoidal_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Sinusoidal time embedding (reference models.py:253-279):
+    freqs exp(-log(10000) * i / (dim/2 - 1)), concat(sin, cos)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        jnp.arange(half, dtype=jnp.float32) * (-math.log(10000.0) / (half - 1))
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """sinusoidal(ch) -> Dense(4ch) -> swish -> Dense(4ch)
+    (reference models.py:282-299)."""
+
+    embedding_dim: int
+    hidden_dim: int
+    output_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t):
+        temb = sinusoidal_embedding(t, self.embedding_dim)
+        temb = nn.Dense(
+            self.hidden_dim, kernel_init=vs_init(), bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="dense_0",
+        )(temb)
+        temb = nn.swish(temb)
+        temb = nn.Dense(
+            self.output_dim, kernel_init=vs_init(), bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="dense_1",
+        )(temb)
+        return temb
+
+
+def group_norm(name: str):
+    return nn.GroupNorm(num_groups=32, epsilon=1e-6, name=name)
+
+
+class ResidualBlock(nn.Module):
+    """norm-swish-conv + temb add + norm-swish-(dropout)-conv0 + shortcut
+    (reference models.py:58-113)."""
+
+    out_ch: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, deterministic: bool = True):
+        in_ch = x.shape[-1]
+        h = nn.swish(group_norm("norm1")(x))
+        h = nn.Conv(
+            self.out_ch, (3, 3), padding=1, kernel_init=vs_init(),
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name="conv1",
+        )(h)
+        h = h + nn.Dense(
+            self.out_ch, kernel_init=vs_init(), bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="temb_proj",
+        )(nn.swish(temb))[:, None, None, :]
+        h = nn.swish(group_norm("norm2")(h))
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(
+            self.out_ch, (3, 3), padding=1, kernel_init=vs_init(0.0),
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name="conv2",
+        )(h)
+        if in_ch != self.out_ch:
+            x = nn.Conv(
+                self.out_ch, (1, 1), padding=0, kernel_init=vs_init(),
+                bias_init=nn.initializers.zeros, dtype=self.dtype,
+                name="shortcut",
+            )(x)
+        return x + h
+
+
+class SelfAttention(nn.Module):
+    """Single-head self-attention over the (H*W, C) token grid
+    (reference models.py:116-162): q/k/v 1x1 convs, softmax(q k^T / sqrt(C)),
+    zero-init output projection, residual add."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        b, hh, ww, c = x.shape
+        h = group_norm("norm")(x)
+
+        def conv1x1(name, scale=1.0):
+            return nn.Conv(
+                c, (1, 1), padding=0, kernel_init=vs_init(scale),
+                bias_init=nn.initializers.zeros, dtype=self.dtype, name=name,
+            )
+
+        q = conv1x1("attn_q")(h).reshape(b, hh * ww, c)
+        k = conv1x1("attn_k")(h).reshape(b, hh * ww, c)
+        v = conv1x1("attn_v")(h).reshape(b, hh * ww, c)
+
+        attn = jnp.einsum(
+            "bic,bjc->bij", q, k, preferred_element_type=jnp.float32
+        ) * (int(c) ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        h = jnp.einsum(
+            "bij,bjc->bic", attn, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        h = h.reshape(b, hh, ww, c)
+        h = conv1x1("proj_out", scale=0.0)(h)
+        return x + h
+
+
+class Downsample(nn.Module):
+    """3x3 stride-2 conv (with_conv=True path, reference models.py:50-55);
+    torch padding=1 == jax padding ((1,1),(1,1))."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            x.shape[-1], (3, 3), strides=(2, 2), padding=1,
+            kernel_init=vs_init(), bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    """nearest 2x upsample + 3x3 conv (reference models.py:41-47)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(
+            c, (3, 3), padding=1, kernel_init=vs_init(),
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name="conv",
+        )(x)
+
+
+class VelocityUNet(nn.Module):
+    """Flow-matching velocity field v(x, t) (reference models.py:302-495)."""
+
+    input_channels: int = 3
+    input_height: int = 128
+    ch: int = 32
+    output_channels: int | None = None
+    ch_mult: Sequence[int] = (1, 2, 4, 8)
+    num_res_blocks: int = 6
+    attn_resolutions: Sequence[int] = (16, 8)
+    dropout: float = 0.0
+    resamp_with_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, deterministic: bool = True):
+        assert x.ndim == 4 and x.shape[-1] == self.input_channels, (
+            "expected NHWC input, got {}".format(x.shape)
+        )
+        out_ch = self.output_channels or self.input_channels
+        num_resolutions = len(self.ch_mult)
+        temb_ch = self.ch * 4
+
+        x = x.astype(self.dtype)
+        temb = TimestepEmbedding(
+            embedding_dim=self.ch, hidden_dim=temb_ch, output_dim=temb_ch,
+            dtype=self.dtype, name="temb_net",
+        )(t)
+
+        # Down path
+        hs = [
+            nn.Conv(
+                self.ch, (3, 3), padding=1, kernel_init=vs_init(),
+                bias_init=nn.initializers.zeros, dtype=self.dtype,
+                name="begin_conv",
+            )(x)
+        ]
+        in_ht = self.input_height
+        for i_level in range(num_resolutions):
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks):
+                h = ResidualBlock(
+                    block_out, dropout=self.dropout, dtype=self.dtype,
+                    name=f"down_{i_level}_block_{i_block}",
+                )(hs[-1], temb, deterministic)
+                if h.shape[1] in self.attn_resolutions:
+                    h = SelfAttention(
+                        dtype=self.dtype, name=f"down_{i_level}_attn_{i_block}"
+                    )(h)
+                hs.append(h)
+            if i_level != num_resolutions - 1:
+                hs.append(
+                    Downsample(dtype=self.dtype, name=f"down_{i_level}_downsample")(
+                        hs[-1]
+                    )
+                )
+                in_ht //= 2
+
+        # Middle
+        h = hs[-1]
+        h = ResidualBlock(
+            h.shape[-1], dropout=self.dropout, dtype=self.dtype, name="mid_block_0"
+        )(h, temb, deterministic)
+        h = SelfAttention(dtype=self.dtype, name="mid_attn")(h)
+        h = ResidualBlock(
+            h.shape[-1], dropout=self.dropout, dtype=self.dtype, name="mid_block_1"
+        )(h, temb, deterministic)
+
+        # Up path
+        for i_level in reversed(range(num_resolutions)):
+            block_out = self.ch * self.ch_mult[i_level]
+            for i_block in range(self.num_res_blocks + 1):
+                h = ResidualBlock(
+                    block_out, dropout=self.dropout, dtype=self.dtype,
+                    name=f"up_{i_level}_block_{i_block}",
+                )(jnp.concatenate([h, hs.pop()], axis=-1), temb, deterministic)
+                if h.shape[1] in self.attn_resolutions:
+                    h = SelfAttention(
+                        dtype=self.dtype, name=f"up_{i_level}_attn_{i_block}"
+                    )(h)
+            if i_level != 0:
+                h = Upsample(dtype=self.dtype, name=f"up_{i_level}_upsample")(h)
+        assert not hs
+
+        # End
+        h = nn.swish(group_norm("end_norm")(h))
+        h = nn.Conv(
+            out_ch, (3, 3), padding=1, kernel_init=vs_init(0.0),
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name="end_conv",
+        )(h)
+        return h.astype(jnp.float32)
+
+
+def make_velocity_unet(args, dtype=jnp.float32) -> VelocityUNet:
+    """The configuration used for all 'ot' / 'indep' / 'gradient_step' models
+    (reference utils.py:170-180)."""
+    return VelocityUNet(
+        input_channels=args.num_channels,
+        input_height=args.dim_image,
+        ch=32,
+        ch_mult=(1, 2, 4, 8),
+        num_res_blocks=6,
+        attn_resolutions=(16, 8),
+        dtype=dtype,
+    )

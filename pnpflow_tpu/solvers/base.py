@@ -1,0 +1,154 @@
+"""Shared solver machinery: model bundles, measurement protocol, batch loop.
+
+Each method in the reference is a class with ``run_method(data_loaders,
+degradation, sigma_noise)`` that iterates ``max_batch`` test batches,
+generates measurements with a per-batch torch seed (pnp_flow.py:77-87), runs
+its iteration, and reports metrics + time/memory stats.  We keep the same
+protocol: per-batch measurement noise keyed by the batch index, identical
+result layout, but the iteration itself is a single jitted program resident
+on the TPU.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import pnpflow_tpu.utils.reporting as reporting
+from pnpflow_tpu.utils.config import get_save_path_ip
+
+
+@dataclass
+class ModelBundle:
+    """A velocity (or denoiser) model plus its parameters.
+
+    ``apply(params, x_nhwc, t_vec) -> v`` is a pure function.  For
+    ``kind == 'rectified'`` the t-scaling by 999 (reference
+    pnp_flow.py:23-27) is already folded into ``apply``.
+    """
+
+    apply: Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+    params: Any
+    kind: str = "ot"
+
+    def forward(self, x, t):
+        return self.apply(self.params, x, t)
+
+
+def measurement_noise_key(batch: int) -> jax.Array:
+    """Per-batch measurement key mirroring ``torch.manual_seed(batch)``
+    (reference pnp_flow.py:79)."""
+    return jax.random.PRNGKey(batch)
+
+
+def make_measurement_fn(H, sigma_noise, noise_type):
+    """One jitted program for the whole measurement pipeline
+    y = H(clean) + sigma * noise — no per-op eager dispatch."""
+
+    @jax.jit
+    def measure(clean, key):
+        y = H(clean)
+        if noise_type == "gaussian":
+            return y + sigma_noise * jax.random.normal(key, y.shape, y.dtype)
+        if noise_type == "laplace":
+            return y + sigma_noise * jax.random.laplace(key, y.shape, y.dtype)
+        raise ValueError("Noise type not supported")
+
+    return measure
+
+
+def peak_memory_bytes() -> int:
+    stats = jax.local_devices()[0].memory_stats() or {}
+    return int(stats.get("peak_bytes_in_use", 0))
+
+
+class Solver:
+    """Base class with the reference-compatible outer loop."""
+
+    def __init__(self, model: ModelBundle, args):
+        self.model = model
+        self.args = args
+
+    # -- subclass hook -----------------------------------------------------
+    def solve_batch(self, clean_img, noisy_img, degradation, sigma_noise,
+                    batch: int, report_cb=None):
+        raise NotImplementedError
+
+    # -- outer loop ----------------------------------------------------------
+    def run_method(self, data_loaders, degradation, sigma_noise):
+        args = self.args
+        folder = get_save_path_ip(args.dict_cfg_method)
+        args.save_path_ip = os.path.join(args.save_path, folder)
+        os.makedirs(args.save_path_ip, exist_ok=True)
+        self.solve_ip(data_loaders[args.eval_split], degradation, sigma_noise)
+
+    def solve_ip(self, test_loader, degradation, sigma_noise):
+        args = self.args
+        H = degradation.H
+        H_adj = degradation.H_adj
+        args.sigma_noise = sigma_noise
+
+        measure = make_measurement_fn(H, sigma_noise, args.noise_type)
+
+        loader = iter(test_loader)
+        for batch in range(args.max_batch):
+            clean_img, _ = next(loader)
+            clean_img = jnp.asarray(clean_img)
+            args.batch = batch
+
+            noisy_img = measure(clean_img, measurement_noise_key(batch))
+
+            def report_cb(x, iteration):
+                if args.save_results:
+                    reporting.compute_psnr(
+                        clean_img, noisy_img, x, args, H_adj, iter=iteration
+                    )
+                    reporting.compute_ssim(
+                        clean_img, noisy_img, x, args, H_adj, iter=iteration
+                    )
+                    reporting.compute_lpips(
+                        clean_img, noisy_img, x, args, H_adj, iter=iteration
+                    )
+
+            if args.compute_time:
+                # force materialization via a host read: on a tunneled TPU,
+                # block_until_ready alone can return early
+                np.asarray(noisy_img)
+                t0 = time.perf_counter()
+
+            x, last_iter = self.solve_batch(
+                clean_img, noisy_img, degradation, sigma_noise, batch,
+                report_cb=report_cb if args.save_results else None,
+            )
+
+            if args.compute_time:
+                np.asarray(x)
+                reporting.save_time_use(
+                    {"batch": batch, "time_per_batch": time.perf_counter() - t0},
+                    args,
+                )
+            if args.compute_memory:
+                reporting.save_memory_use(
+                    {"batch": batch, "max_allocated": peak_memory_bytes()}, args
+                )
+
+            if args.save_results:
+                reporting.save_images(
+                    clean_img, noisy_img, x, args, H_adj, iter="final"
+                )
+                report_cb(x, last_iter)
+
+        if args.save_results:
+            reporting.compute_average_psnr(args)
+            reporting.compute_average_ssim(args)
+            reporting.compute_average_lpips(args)
+        if args.compute_memory:
+            reporting.compute_average_memory(args)
+        if args.compute_time:
+            reporting.compute_average_time(args)

@@ -1,0 +1,240 @@
+"""Gradient-step denoiser (Hurault PnP-GS): model + trainer.
+
+Re-design of the reference ``GRADIENT_STEP_DENOISER``
+(pnpflow/train_denoiser.py:16-256).  The denoiser is
+
+    D(x) = x - Dg(x),   Dg(x) = x - N(x) - J_N(x)^T (x - N(x))
+
+with N the velocity U-Net evaluated at t = sigma (train_denoiser.py:39-57);
+the vjp comes from ``jax.vjp``.  Training: random sigma ~ U[0, 0.25]
+Gaussian noise per iteration, per-image MSE, Adam with a MultiStep schedule
+([300, 600, 900, 1200] x 0.5, train_denoiser.py:26-27,78-90), optional
+jacobian spectral-norm regularization (power iteration, :92-160; disabled by
+default, weight = -1, :28), per-epoch checkpointing (:213-218).
+"""
+
+from __future__ import annotations
+
+import os
+import random as _pyrandom
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import serialization
+
+from pnpflow_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+
+def make_calculate_grad(model_apply):
+    """``calculate_grad(params, x, sigma_vec) -> (Dg, N[, g])``
+    (reference train_denoiser.py:39-57)."""
+
+    def calculate_grad(params, x, sigma_vec, compute_g: bool = False):
+        N, vjp_fn = jax.vjp(lambda z: model_apply(params, z, sigma_vec), x)
+        JN = vjp_fn(x - N)[0]
+        Dg = x - N - JN
+        if compute_g:
+            g = 0.5 * jnp.sum((x - N) ** 2)
+            return Dg, N, g
+        return Dg, N
+
+    return calculate_grad
+
+
+def make_denoiser_forward(model_apply, sigma_step: bool = False,
+                          weight_Ds: float = 1.0):
+    """``D(x, sigma) = x - Dg`` (train_denoiser.py:59-76, grad_matching)."""
+    calculate_grad = make_calculate_grad(model_apply)
+
+    def forward(params, x, sigma_vec):
+        Dg, _ = calculate_grad(params, x, sigma_vec)
+        if sigma_step:
+            x_hat = x - weight_Ds * sigma_vec[:, None, None, None] * Dg
+        else:
+            x_hat = x - weight_Ds * Dg
+        return x_hat, Dg
+
+    return forward
+
+
+def power_iteration(operator, x_like, key, steps: int = 50):
+    """Batched power iteration for the largest |eigenvalue| of ``operator``
+    (reference train_denoiser.py:92-127).  Fixed step count (the reference's
+    early-exit threshold becomes a static unroll bound under jit)."""
+
+    def normalize(v):
+        n = jnp.sqrt(jnp.sum(v**2, axis=(1, 2, 3), keepdims=True))
+        return v / jnp.maximum(n, 1e-12)
+
+    vec = normalize(jax.random.uniform(key, x_like.shape, x_like.dtype))
+
+    def body(vec, _):
+        return normalize(operator(vec)), None
+
+    vec, _ = jax.lax.scan(body, vec, None, length=steps)
+    new_vec = operator(vec)
+    num = jnp.abs(jnp.sum(vec * new_vec, axis=(1, 2, 3)))
+    den = jnp.sqrt(jnp.sum(vec**2, axis=(1, 2, 3)))
+    return num / jnp.maximum(den, 1e-12)
+
+
+def make_jacobian_spectral_norm(model_apply):
+    """Spectral norm of d(Dg)/dx via double-vjp power iteration
+    (train_denoiser.py:129-160, grad_matching branch)."""
+    calculate_grad = make_calculate_grad(model_apply)
+
+    def jac_norm(params, x, sigma_vec, key, steps: int = 50):
+        def Dg_of(z):
+            return calculate_grad(params, z, sigma_vec)[0]
+
+        _, vjp_fn = jax.vjp(Dg_of, x)
+
+        def operator(vec):
+            return vjp_fn(vec)[0]
+
+        return power_iteration(operator, x, key, steps=steps)
+
+    return jac_norm
+
+
+class GradientStepTrainer:
+    """Reference-compatible trainer facade (train_denoiser.py:162-256)."""
+
+    def __init__(self, args, model=None):
+        from pnpflow_tpu.models.registry import define_model
+
+        self.args = args
+        self.model = model if model is not None else define_model(args)
+        self.forward = make_denoiser_forward(self.model.apply)
+        self.jac_norm = make_jacobian_spectral_norm(self.model.apply)
+        self.lr = float(args.lr)
+        self.num_epoch = int(args.num_epoch)
+        self.jacobian_loss_weight = float(
+            getattr(args, "jacobian_loss_weight", -1) or -1
+        )
+        self.jacobian_loss_type = getattr(args, "jacobian_loss_type", "max")
+        self.eps_jacobian_loss = 0.1
+
+        self.model_dir = os.path.join(
+            args.output_root, "model", args.dataset, args.model
+        )
+        self.results_dir = os.path.join(
+            args.output_root, "results", args.dataset, args.model
+        )
+        os.makedirs(self.model_dir, exist_ok=True)
+        os.makedirs(self.results_dir, exist_ok=True)
+
+        # MultiStepLR [300, 600, 900, 1200] x 0.5 (train_denoiser.py:26-27)
+        schedule = optax.piecewise_constant_schedule(
+            self.lr, {300: 0.5, 600: 0.5, 900: 0.5, 1200: 0.5}
+        )
+        self.tx = optax.adam(schedule)
+        self.mesh = make_mesh()
+        self._build_train_step()
+
+    def _build_train_step(self):
+        forward = self.forward
+        jac_norm = self.jac_norm
+        jw = self.jacobian_loss_weight
+        jtype = self.jacobian_loss_type
+        jeps = self.eps_jacobian_loss
+        tx = self.tx
+
+        def loss_fn(params, y, sigma, key):
+            u = jax.random.normal(key, y.shape, y.dtype)
+            x = y + sigma * u
+            sigma_vec = jnp.full((y.shape[0],), sigma, dtype=jnp.float32)
+            x_hat, _ = forward(params, x, sigma_vec)
+            per_image = jnp.mean(
+                (x_hat - y).reshape(y.shape[0], -1) ** 2, axis=1
+            )
+            if jw > 0:
+                jn = jac_norm(params, x, sigma_vec, key)
+                if jtype == "max":
+                    jloss = jnp.maximum(jn, 1.0 - jeps)
+                else:  # exp
+                    jloss = jnp.exp(jn - (1.0 + jeps))
+                per_image = per_image + jw * jnp.clip(jloss, 0.0, 1e3)
+            loss = jnp.mean(per_image)
+            mse_batch = jnp.mean((x_hat - y) ** 2)
+            return loss, mse_batch
+
+        @jax.jit
+        def train_step(state, y, sigma, key):
+            (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"], y, sigma, key
+            )
+            updates, opt_state = tx.update(grads, state["opt_state"])
+            params = optax.apply_updates(state["params"], updates)
+            # PSNR vs data_range 2.0 ([-1,1] images, train_denoiser.py:25)
+            psnr = 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-20))
+            return (
+                {"params": params, "opt_state": opt_state,
+                 "step": state["step"] + 1},
+                loss, psnr,
+            )
+
+        self.train_step = train_step
+
+    def init_state(self, seed: int = 0):
+        dim, c = self.args.dim_image, self.args.num_channels
+        x = jnp.zeros((1, dim, dim, c))
+        params = self.model.init(jax.random.PRNGKey(seed), x, jnp.zeros((1,)))
+        return {
+            "params": params,
+            "opt_state": self.tx.init(params),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    def save_params(self, state, name):
+        with open(os.path.join(self.model_dir, name), "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(state["params"])))
+
+    def train(self, data_loaders):
+        args = self.args
+        state = replicate(self.init_state(int(getattr(args, "seed", 0) or 0)),
+                          self.mesh)
+        n_params = sum(
+            int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(state["params"])
+        )
+        with open(os.path.join(self.results_dir, "model_info.txt"), "w") as f:
+            f.write("PARAMETERS\n")
+            f.write("Number of parameters: {}\n".format(n_params))
+            f.write("Number of epochs: {}\n".format(args.num_epoch))
+            f.write("Batch size: {}\n".format(args.batch_size_train))
+            f.write("Learning rate: {}\n".format(self.lr))
+
+        rng = _pyrandom.Random(int(getattr(args, "seed", 0) or 0))
+        key = jax.random.PRNGKey(int(getattr(args, "seed", 0) or 0))
+        loss_file = os.path.join(self.results_dir, "loss_training.txt")
+        epoch_file = os.path.join(self.results_dir, "losses_gradient_step.txt")
+        for ep in range(self.num_epoch):
+            loss = psnr = float("nan")
+            for iteration, (y, _) in enumerate(data_loaders["train"]):
+                if len(y) == 0:
+                    continue
+                y = shard_batch(np.asarray(y, dtype=np.float32), self.mesh)
+                sigma = rng.uniform(0, 0.25)
+                key, sub = jax.random.split(key)
+                state, loss, psnr = self.train_step(state, y, sigma, sub)
+                with open(loss_file, "a") as f:
+                    f.write(
+                        "Epoch: {}, iter: {}, Loss: {}\n".format(
+                            ep, iteration, float(loss)
+                        )
+                    )
+            self.save_params(state, "gradient_step_denoiser_{}.msgpack".format(ep))
+            with open(epoch_file, "a") as f:
+                f.write(
+                    "Epoch: {}, Loss: {}, PSNR: {}\n".format(
+                        ep, float(loss), float(psnr)
+                    )
+                )
+        self.save_params(state, "gradient_step_denoiser_final.msgpack")
+        # also store under the registry's standard name for eval loading
+        self.save_params(state, "model_final.msgpack")
+        return state
