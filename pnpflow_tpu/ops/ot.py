@@ -42,10 +42,60 @@ def pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(a2 - 2.0 * cross + b2.T, 0.0)
 
 
+_LAP_LIB = None
+
+
+def _load_lap_lib():
+    """Native Jonker-Volgenant LAP solver (csrc/lap.cpp), built on demand;
+    None if the shared library is unavailable."""
+    global _LAP_LIB
+    if _LAP_LIB is not None:
+        return _LAP_LIB if _LAP_LIB is not False else None
+    import ctypes
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    so = os.path.join(here, "csrc", "liblap.so")
+    if not os.path.exists(so):
+        src = os.path.join(here, "csrc", "lap.cpp")
+        if os.path.exists(src):
+            try:
+                subprocess.run(
+                    ["make", "-C", os.path.dirname(src)],
+                    check=True, capture_output=True,
+                )
+            except Exception:
+                pass
+    try:
+        lib = ctypes.CDLL(so)
+        lib.lap_solve.restype = ctypes.c_int
+        _LAP_LIB = lib
+        return lib
+    except OSError:
+        _LAP_LIB = False
+        return None
+
+
 def _host_assignment(cost: np.ndarray) -> np.ndarray:
+    cost = np.ascontiguousarray(cost, dtype=np.float64)
+    n = cost.shape[0]
+    lib = _load_lap_lib()
+    if lib is not None:
+        import ctypes
+
+        out = np.empty(n, np.int32)
+        rc = lib.lap_solve(
+            n,
+            cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc == 0:
+            return out
     from scipy.optimize import linear_sum_assignment
 
-    _, col = linear_sum_assignment(np.asarray(cost, dtype=np.float64))
+    _, col = linear_sum_assignment(cost)
     return col.astype(np.int32)
 
 

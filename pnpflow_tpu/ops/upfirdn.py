@@ -37,6 +37,20 @@ def setup_kernel(k) -> np.ndarray:
     return k
 
 
+# FIR backend: "xla" (one conv_general_dilated) or "pallas" (hand-written
+# VPU kernel, ops/pallas_kernels.py).  Switch globally via set_fir_backend
+# or the PNPFLOW_TPU_FIR env var.
+import os as _os
+
+_FIR_BACKEND = _os.environ.get("PNPFLOW_TPU_FIR", "xla")
+
+
+def set_fir_backend(name: str):
+    global _FIR_BACKEND
+    assert name in ("xla", "pallas"), name
+    _FIR_BACKEND = name
+
+
 def upfirdn2d(x, k: np.ndarray, up: int = 1, down: int = 1,
               pad=(0, 0)):
     """Upsample-FIR-downsample on NHWC, matching ``upfirdn2d_native``
@@ -44,6 +58,10 @@ def upfirdn2d(x, k: np.ndarray, up: int = 1, down: int = 1,
 
     out = decimate_down( conv(pad(zero_insert_up(x)), flip(k)) )
     """
+    if _FIR_BACKEND == "pallas":
+        from pnpflow_tpu.ops.pallas_kernels import upfirdn2d_pallas
+
+        return upfirdn2d_pallas(x, np.asarray(k), up=up, down=down, pad=pad)
     c = x.shape[-1]
     kh, kw = k.shape
     kernel = jnp.asarray(np.ascontiguousarray(k[::-1, ::-1]), x.dtype)

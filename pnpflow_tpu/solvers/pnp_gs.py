@@ -36,9 +36,9 @@ from pnpflow_tpu.ops.degradations import Superresolution
 
 
 def _splits_mean(a, sf):
-    """Mean over the sf x sf contiguous block grid (reference
-    pnp_gs.py:51-61, torch.chunk over H then W): NHWC -> (B, H/sf, W/sf, C).
-    """
+    """Mean ACROSS the sf x sf contiguous blocks at each within-block
+    position (reference pnp_gs.py:51-61,70-72: stack torch.chunk blocks on a
+    trailing axis, then mean over it): NHWC -> (B, H/sf, W/sf, C)."""
     b, h, w, c = a.shape
     a = a.reshape(b, sf, h // sf, sf, w // sf, c)
     return jnp.mean(a, axis=(1, 3))

@@ -1,0 +1,131 @@
+"""Generative metric correctness: FID math vs scipy reference, Vendi
+closed-form cases, sliced-Wasserstein basic properties; SSIM/PSNR parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pnpflow_tpu.metrics.generative import (
+    activation_statistics,
+    fid_from_features,
+    frechet_distance,
+    sliced_wasserstein,
+    vendi_score,
+)
+from pnpflow_tpu.metrics.image_quality import psnr, ssim
+
+
+def test_fid_identical_sets_zero():
+    rng = np.random.default_rng(0)
+    f = rng.normal(size=(256, 16)).astype(np.float32)
+    assert abs(fid_from_features(f, f.copy())) < 1e-3
+
+
+def test_fid_shifted_gaussians_matches_closed_form():
+    """For equal covariance and mean shift d, FID ~ ||d||^2."""
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(20000, 4)).astype(np.float32)
+    shift = np.array([1.0, 0.5, 0.0, -0.5], np.float32)
+    b = rng.normal(size=(20000, 4)).astype(np.float32) + shift
+    fid = fid_from_features(a, b)
+    assert abs(fid - float((shift**2).sum())) < 0.1
+
+
+def test_frechet_distance_vs_scipy_direct():
+    rng = np.random.default_rng(2)
+    f1 = rng.normal(size=(500, 8)).astype(np.float64)
+    f2 = (rng.normal(size=(500, 8)) * 1.5 + 0.3).astype(np.float64)
+    m1, s1 = f1.mean(0), np.cov(f1, rowvar=False)
+    m2, s2 = f2.mean(0), np.cov(f2, rowvar=False)
+    from scipy import linalg
+
+    covmean = linalg.sqrtm(s1.dot(s2)).real
+    expected = (
+        ((m1 - m2) ** 2).sum() + np.trace(s1) + np.trace(s2)
+        - 2 * np.trace(covmean)
+    )
+    ours_m1, ours_s1 = activation_statistics(jnp.asarray(f1, jnp.float32))
+    ours_m2, ours_s2 = activation_statistics(jnp.asarray(f2, jnp.float32))
+    got = frechet_distance(
+        np.asarray(ours_m1), np.asarray(ours_s1),
+        np.asarray(ours_m2), np.asarray(ours_s2),
+    )
+    assert abs(got - expected) < 0.05
+
+
+def test_vendi_identical_rows_is_one():
+    f = np.tile(np.random.default_rng(3).normal(size=(1, 8)), (16, 1))
+    assert abs(float(vendi_score(jnp.asarray(f, jnp.float32))) - 1.0) < 1e-3
+
+
+def test_vendi_orthogonal_rows_is_n():
+    f = np.eye(8, dtype=np.float32)
+    assert abs(float(vendi_score(jnp.asarray(f))) - 8.0) < 1e-3
+
+
+def test_sliced_wasserstein_zero_for_identical():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(64, 10)).astype(np.float32)
+    assert float(sliced_wasserstein(jnp.asarray(x), jnp.asarray(x))) < 1e-6
+
+
+def test_sliced_wasserstein_detects_shift():
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(256, 10)).astype(np.float32)
+    y = x + 2.0
+    d = float(sliced_wasserstein(jnp.asarray(x), jnp.asarray(y)))
+    assert d > 0.5
+
+
+# ---------------------------------------------------------------------------
+# restoration metrics vs torch implementations
+
+
+def test_psnr_matches_closed_form():
+    rng = np.random.default_rng(6)
+    a = rng.uniform(size=(4, 8, 8, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(size=a.shape) * 0.1, 0, 1).astype(np.float32)
+    ours = float(psnr(jnp.asarray(b), jnp.asarray(a)))
+    per_img = []
+    for i in range(4):
+        mse = np.mean((a[i] - b[i]) ** 2)
+        per_img.append(10 * np.log10(1.0 / mse))
+    assert abs(ours - np.mean(per_img)) < 1e-3
+
+
+def test_ssim_matches_torch_ignite_style():
+    """Compare against a direct torch implementation of gaussian-window SSIM
+    with uniform averaging (ignite semantics used by the reference,
+    utils.py:795-802)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(7)
+    a = rng.uniform(size=(2, 16, 16, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(size=a.shape) * 0.05, 0, 1).astype(np.float32)
+
+    def torch_ssim(x, y, k=11, sigma=1.5):
+        coords = torch.arange(k, dtype=torch.float64) - (k - 1) / 2.0
+        g = torch.exp(-(coords**2) / (2 * sigma**2))
+        g /= g.sum()
+        w = torch.outer(g, g)[None, None].repeat(3, 1, 1, 1)
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).double()
+        yt = torch.from_numpy(np.transpose(y, (0, 3, 1, 2))).double()
+        pad = (k - 1) // 2
+        xt = F.pad(xt, (pad,) * 4, mode="reflect")
+        yt = F.pad(yt, (pad,) * 4, mode="reflect")
+        mu_x = F.conv2d(xt, w, groups=3)
+        mu_y = F.conv2d(yt, w, groups=3)
+        xx = F.conv2d(xt * xt, w, groups=3) - mu_x**2
+        yy = F.conv2d(yt * yt, w, groups=3) - mu_y**2
+        xy = F.conv2d(xt * yt, w, groups=3) - mu_x * mu_y
+        c1, c2 = 0.01**2, 0.03**2
+        s = ((2 * mu_x * mu_y + c1) * (2 * xy + c2)) / (
+            (mu_x**2 + mu_y**2 + c1) * (xx + yy + c2)
+        )
+        return float(s.mean())
+
+    ours = float(ssim(jnp.asarray(b), jnp.asarray(a)))
+    ref = torch_ssim(b, a)
+    assert abs(ours - ref) < 5e-3

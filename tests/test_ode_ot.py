@@ -1,0 +1,106 @@
+"""ODE integrator accuracy and OT coupling correctness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pnpflow_tpu.ops.ode import (
+    odeint_dopri5,
+    odeint_euler,
+    odeint_heun,
+    odeint_midpoint,
+)
+from pnpflow_tpu.ops.ot import (
+    exact_assignment,
+    ot_pair_indices,
+    pairwise_sq_dists,
+    sinkhorn_plan,
+)
+
+
+def test_dopri5_exponential_decay():
+    f = lambda x, t: -x
+    x = odeint_dopri5(f, jnp.ones((4,)), 0.0, 1.0)
+    assert abs(float(x[0]) - np.exp(-1)) < 1e-4
+
+
+def test_dopri5_reverse_time():
+    f = lambda x, t: -x
+    x = odeint_dopri5(f, jnp.ones((4,)), 1.0, 0.0)
+    assert abs(float(x[0]) - np.exp(1)) < 1e-4
+
+
+def test_dopri5_nonautonomous():
+    """dx/dt = t from 0 to 1 => 0.5 exactly."""
+    x = odeint_dopri5(
+        lambda x, t: jnp.full_like(x, t), jnp.zeros((2,)), 0.0, 1.0
+    )
+    assert abs(float(x[0]) - 0.5) < 1e-5
+
+
+def test_fixed_step_orders():
+    """Euler O(h), midpoint/heun O(h^2) on exp decay."""
+    f = lambda x, t: -x
+    x0 = jnp.ones(())
+    exact = np.exp(-1)
+    err_euler = abs(float(odeint_euler(f, x0, 0.0, 1.0, 50)) - exact)
+    err_mid = abs(float(odeint_midpoint(f, x0, 0.0, 1.0, 50)) - exact)
+    err_heun = abs(float(odeint_heun(f, x0, 0.0, 1.0, 50)) - exact)
+    assert err_mid < err_euler / 10
+    assert err_heun < err_euler / 10
+
+
+def test_midpoint_differentiable():
+    f = lambda x, t: -x
+
+    def loss(x0):
+        return jnp.sum(odeint_midpoint(f, x0, 0.0, 1.0, 20) ** 2)
+
+    g = jax.grad(loss)(jnp.ones((3,)))
+    # d/dx0 (x0 e^-1)^2 = 2 x0 e^-2
+    assert np.allclose(np.asarray(g), 2 * np.exp(-2), atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_pairwise_sq_dists_matches_numpy():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(6, 10)).astype(np.float32)
+    b = rng.normal(size=(6, 10)).astype(np.float32)
+    d = np.asarray(pairwise_sq_dists(jnp.asarray(a), jnp.asarray(b)))
+    ref = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    assert np.allclose(d, ref, atol=1e-4)
+
+
+def test_exact_assignment_identity_for_permuted_cloud():
+    """x1 = permutation of x0 => OT assignment recovers the permutation."""
+    rng = np.random.default_rng(1)
+    x0 = rng.normal(size=(8, 4)).astype(np.float32)
+    perm = rng.permutation(8)
+    x1 = x0[perm]
+    cost = pairwise_sq_dists(jnp.asarray(x0), jnp.asarray(x1))
+    sigma = np.asarray(exact_assignment(cost))
+    # row i of x0 should map to the row of x1 holding the same point
+    assert np.allclose(x1[sigma], x0)
+
+
+def test_sinkhorn_plan_marginals():
+    rng = np.random.default_rng(2)
+    cost = jnp.asarray(rng.uniform(size=(8, 8)).astype(np.float32))
+    log_plan = sinkhorn_plan(cost, reg=0.1, iters=200)
+    plan = np.exp(np.asarray(log_plan))
+    assert np.allclose(plan.sum(1), 1 / 8, atol=1e-3)
+    assert np.allclose(plan.sum(0), 1 / 8, atol=1e-3)
+
+
+def test_ot_pair_indices_shapes_and_jit():
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(rng.normal(size=(8, 4, 4, 1)).astype(np.float32))
+    x1 = jnp.asarray(rng.normal(size=(8, 4, 4, 1)).astype(np.float32))
+    for method in ("exact", "sinkhorn", "indep"):
+        i0, i1 = jax.jit(
+            lambda a, b, k: ot_pair_indices(a, b, k, method=method)
+        )(x0, x1, jax.random.PRNGKey(0))
+        assert i0.shape == (8,) and i1.shape == (8,)
+        assert int(i0.max()) < 8 and int(i1.max()) < 8

@@ -1,0 +1,285 @@
+"""Smoke + behavior tests for the remaining five solvers on a tiny model
+(8-device CPU mesh via conftest)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pnpflow_tpu.models.unet import VelocityUNet
+from pnpflow_tpu.ops.degradations import (
+    BoxInpainting,
+    Denoising,
+    GaussianDeblurring,
+    RandomInpainting,
+    Superresolution,
+)
+
+DIM = 32
+B = 2
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = VelocityUNet(
+        input_channels=3, input_height=DIM, ch=32, ch_mult=(1, 2),
+        num_res_blocks=1, attn_resolutions=(16,),
+    )
+    params = m.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, DIM, DIM, 3)), jnp.zeros((1,))
+    )
+    return m, params
+
+
+@pytest.fixture(scope="module")
+def clean():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(
+        np.tanh(rng.normal(size=(B, DIM, DIM, 3)) * 0.4).astype(np.float32)
+    )
+
+
+def test_ot_ode_denoising(model, clean):
+    from pnpflow_tpu.solvers.ot_ode import make_ot_ode_solver
+
+    m, params = model
+    op = Denoising()
+    y = clean + 0.2 * jax.random.normal(jax.random.PRNGKey(0), clean.shape)
+    solve = make_ot_ode_solver(
+        m.apply, op, problem="denoising", steps=10, gamma="constant",
+        sigma_noise=0.2,
+    )
+    t0 = 0.2
+    x = t0 * y + (1 - t0) * jax.random.normal(jax.random.PRNGKey(1), y.shape)
+    out = solve(params, y, x, None, jnp.asarray(2, jnp.int32), 8)
+    assert out.shape == clean.shape
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_ot_ode_deblurring_closed_form(model, clean):
+    from pnpflow_tpu.solvers.ot_ode import make_ot_ode_solver
+
+    m, params = model
+    op = GaussianDeblurring(1.0, 9, "fft", 3, DIM)
+    y = op.H(clean)
+    solve = make_ot_ode_solver(
+        m.apply, op, problem="gaussian_deblurring_FFT", steps=10,
+        gamma="gamma_t", sigma_noise=0.05,
+    )
+    x = 0.2 * op.H_adj(y) + 0.8 * jax.random.normal(
+        jax.random.PRNGKey(1), y.shape
+    )
+    out = solve(params, y, x, None, jnp.asarray(2, jnp.int32), 8)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_ot_ode_box_inpainting_mask_solve(model, clean):
+    from pnpflow_tpu.solvers.ot_ode import make_ot_ode_solver
+
+    m, params = model
+    op = BoxInpainting(6, DIM)
+    y = op.H(clean)
+    solve = make_ot_ode_solver(
+        m.apply, op, problem="inpainting", steps=10, gamma="constant",
+        sigma_noise=0.05,
+    )
+    x = 0.2 * op.H_adj(y) + 0.8 * jax.random.normal(
+        jax.random.PRNGKey(1), y.shape
+    )
+    out = solve(params, y, x, None, jnp.asarray(2, jnp.int32), 8)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_d_flow_reduces_measurement_loss(model, clean):
+    from pnpflow_tpu.solvers.d_flow import (
+        make_d_flow_solver,
+        make_forward_flow,
+    )
+
+    m, params = model
+    op = BoxInpainting(6, DIM)
+    y = op.H(clean)
+    solve = make_d_flow_solver(
+        m.apply, op.H, steps_euler=3, start_time=0.0, lmbda=0.01,
+        max_iter=1, lbfgs_iter=3,
+    )
+    z = jax.random.normal(jax.random.PRNGKey(1), y.shape)
+    forward = make_forward_flow(m.apply, 3, 0.0)
+
+    def fid(z):
+        return float(jnp.sum((op.H(forward(params, z)) - y) ** 2))
+
+    before = fid(z)
+    z_opt, x_rec = solve(params, y, z)
+    assert x_rec.shape == clean.shape
+    assert bool(jnp.isfinite(x_rec).all())
+    assert fid(z_opt) < before
+
+
+def test_flow_priors_runs(model, clean):
+    from pnpflow_tpu.solvers.flow_priors import make_flow_priors_solver
+
+    m, params = model
+    op = RandomInpainting(0.7, DIM, B)
+    y = op.H(clean)
+    solve = make_flow_priors_solver(
+        m.apply, op.H, N=5, K=2, lmbda=100.0, eta=0.01, start_time=0.0,
+        noise_type="gaussian", sigma_noise=0.01,
+    )
+    key = jax.random.PRNGKey(2)
+    x0 = jax.random.normal(key, clean.shape)
+    out = solve(params, y, op.H(x0), x0, key)
+    assert out.shape == clean.shape
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_hutchinson_trace_unbiased_linear():
+    """For v(x) = A x (A diag), tr(dv/dx) per image == sum(diag)."""
+    from pnpflow_tpu.solvers.flow_priors import hutchinson_trace
+
+    diag = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 4, 1)).astype(np.float32)
+    )
+
+    def fwd(x, t):
+        return diag[None] * x
+
+    x = jnp.ones((2, 4, 4, 1))
+    ests = [
+        hutchinson_trace(fwd, x, 0.5, jax.random.PRNGKey(i), n_probes=1)
+        for i in range(30)
+    ]
+    est = np.mean(np.stack([np.asarray(e) for e in ests]), axis=0)
+    # Rademacher probes on a DIAGONAL operator are exact per draw
+    assert np.allclose(est, float(diag.sum()), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# pnp_gs with the gradient-step denoiser
+
+
+def test_pnp_gs_pgd(model, clean):
+    from pnpflow_tpu.solvers.pnp_gs import make_pnp_gs_solver
+
+    m, params = model
+    op = GaussianDeblurring(1.0, 9, "fft", 3, DIM)
+    y = op.H(clean)
+    solve = make_pnp_gs_solver(
+        m.apply, op, problem="gaussian_deblurring_FFT", algo="pgd",
+        noise_type="gaussian", sigma_noise=0.05, lr_pnp=1.0, alpha=0.5,
+        sigma_factor=1.0, max_iter=5,
+    )
+    x0 = op.H_adj(y)
+    x, alpha_c = solve(
+        params, y, x0, jnp.asarray(0.5, jnp.float32),
+        jnp.asarray(0, jnp.int32), 5,
+    )
+    assert bool(jnp.isfinite(x).all())
+
+
+def test_pnp_gs_hqs_random_inpainting(model, clean):
+    from pnpflow_tpu.solvers.pnp_gs import make_pnp_gs_solver
+
+    m, params = model
+    op = RandomInpainting(0.7, DIM, B)
+    y = op.H(clean)
+    solve = make_pnp_gs_solver(
+        m.apply, op, problem="random_inpainting", algo="hqs",
+        noise_type="gaussian", sigma_noise=0.01, lr_pnp=1.0, alpha=0.5,
+        sigma_factor=1.0, max_iter=4,
+    )
+    x0 = 1.5 * y - op.H(y)
+    x, _ = solve(
+        params, y, x0, jnp.asarray(0.5, jnp.float32),
+        jnp.asarray(0, jnp.int32), 4,
+    )
+    assert bool(jnp.isfinite(x).all())
+
+
+def test_pnp_gs_hqs_deblur_backtracking(model, clean):
+    from pnpflow_tpu.solvers.pnp_gs import make_pnp_gs_solver
+
+    m, params = model
+    op = GaussianDeblurring(1.0, 9, "fft", 3, DIM)
+    y = op.H(clean)
+    solve = make_pnp_gs_solver(
+        m.apply, op, problem="gaussian_deblurring_FFT", algo="hqs",
+        noise_type="gaussian", sigma_noise=0.05, lr_pnp=1.0, alpha=0.5,
+        sigma_factor=1.0, max_iter=3,
+    )
+    x, alpha_c = solve(
+        params, y, op.H_adj(y), jnp.asarray(0.5, jnp.float32),
+        jnp.asarray(0, jnp.int32), 3,
+    )
+    assert bool(jnp.isfinite(x).all())
+    assert 0.0 < float(alpha_c) <= 0.5
+
+
+def test_pnp_gs_splits_mean():
+    from pnpflow_tpu.solvers.pnp_gs import _splits_mean
+
+    x = jnp.asarray(np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1))
+    out = np.asarray(_splits_mean(x, 2))
+    # torch semantics: mean ACROSS the sf x sf contiguous blocks at each
+    # within-block position -> out[0,0] = mean(a[0,0], a[0,2], a[2,0], a[2,2])
+    expected_tl = np.mean([0, 2, 8, 10])
+    assert out.shape == (1, 2, 2, 1)
+    assert np.isclose(out[0, 0, 0, 0], expected_tl)
+
+
+# ---------------------------------------------------------------------------
+# pnp_diff (DiffPIR) with a tiny diffusion UNet
+
+
+def test_pnp_diff_diffpir(clean):
+    from pnpflow_tpu.models.diffunet import DiffUNet
+    from pnpflow_tpu.solvers.pnp_diff import make_diffpir_solver, make_prox
+
+    net = DiffUNet(
+        in_channels=3, out_channels=6, model_channels=32,
+        channel_mult=(1, 2), num_res_blocks=1, attention_ds=(2,),
+    )
+    params = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, DIM, DIM, 3)), jnp.zeros((1,))
+    )
+    op = BoxInpainting(6, DIM)
+    y01 = (op.H(clean) + 1.0) / 2.0
+    prox = make_prox("inpainting", op, 0.05, "gaussian")
+    solve = make_diffpir_solver(
+        net.apply, prox, op.H_adj, lmbda=7.0, zeta=0.3, max_iter=5,
+        sigma_noise=0.05,
+    )
+    x = solve(params, y01, jax.random.PRNGKey(0))
+    assert x.shape == clean.shape
+    assert bool(jnp.isfinite(x).all())
+
+
+def test_pnp_diff_prox_solves_quadratic():
+    """The inpainting prox must solve argmin 1/(2s^2)||Hx-y||^2 +
+    1/(2g)||x - x0||^2 -> gradient at the solution is ~0."""
+    from pnpflow_tpu.solvers.pnp_diff import make_prox
+
+    op = BoxInpainting(6, DIM)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(1, DIM, DIM, 3)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(1, DIM, DIM, 3)).astype(np.float32))
+    y = op.H(y)
+    s, g = 0.05, 0.3
+    prox = make_prox("inpainting", op, s, "gaussian")
+    sol = prox(x0, y, g)
+    grad = op.H_adj(op.H(sol) - y) / s**2 + (sol - x0) / g
+    assert float(jnp.abs(grad).max()) < 1e-3
+
+
+def test_diffunet_forward_shapes():
+    from pnpflow_tpu.models.diffunet import DiffUNet
+
+    net = DiffUNet(
+        in_channels=3, out_channels=6, model_channels=32,
+        channel_mult=(1, 2), num_res_blocks=1, attention_ds=(2,),
+    )
+    x = jnp.zeros((2, DIM, DIM, 3))
+    t = jnp.full((2,), 500.0)
+    params = net.init(jax.random.PRNGKey(0), x, t)
+    out = net.apply(params, x, t)
+    assert out.shape == (2, DIM, DIM, 6)
