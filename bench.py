@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pnpflow_tpu.utils.jax_setup  # noqa: F401  (persistent compile cache)
+
 
 DIM = 64
 BATCH = 32

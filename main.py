@@ -15,6 +15,7 @@ import random
 
 import numpy as np
 
+import pnpflow_tpu.utils.jax_setup  # noqa: F401  (persistent compile cache)
 from pnpflow_tpu.utils.config import load_full_config
 from pnpflow_tpu.ops.degradations import make_degradation
 from pnpflow_tpu.data import DataLoaders

@@ -150,7 +150,7 @@ class ComputeMetric:
 
         return pixel_features, "pixels_32"
 
-    def compute_metrics(self, n: int):
+    def compute_metrics(self, n: int, steps: int = 100):
         args = self.args
         feature_fn, feat_name = self._feature_fn()
 
@@ -178,7 +178,7 @@ class ComputeMetric:
             key, sub = jax.random.split(key)
             samples = euler_sample(
                 self.bundle.apply, self.bundle.params, sub,
-                (batch, dim, dim, c), steps=100,
+                (batch, dim, dim, c), steps=steps,
             )
             s01 = jnp.clip((samples + 1.0) / 2.0, 0.0, 1.0)
             gen_feats.append(feature_fn(s01))

@@ -150,6 +150,41 @@ def sample_pairs_from_log_plan(log_plan: jnp.ndarray, key: jax.Array):
     return choice // b, choice % b
 
 
+def host_ot_pair(x0: np.ndarray, x1: np.ndarray, rng: np.random.Generator):
+    """Exact OT pairing computed fully on the host (no jax callback) — the
+    path for backends without host-callback support.  Returns (idx0, idx1)
+    numpy index vectors, bootstrap-resampled with replacement like the
+    reference's sampling from the plan (train_flow_matching.py:94-99)."""
+    a = np.ascontiguousarray(x0.reshape(x0.shape[0], -1), np.float32)
+    b = np.ascontiguousarray(x1.reshape(x1.shape[0], -1), np.float32)
+    n = a.shape[0]
+    lib = _load_lap_lib()
+    if lib is not None:
+        import ctypes
+
+        cost = np.empty((n, n), np.float64)
+        lib.sq_dist_matrix(
+            n, a.shape[1],
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        sigma = np.empty(n, np.int32)
+        rc = lib.lap_solve(
+            n, cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            sigma.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != 0:
+            sigma = None
+    else:
+        sigma = None
+    if sigma is None:
+        d = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        sigma = _host_assignment(d)
+    rows = rng.integers(0, n, size=n)
+    return rows, sigma[rows]
+
+
 def ot_pair_indices(x0, x1, key, method: str = "exact",
                     reg: float = 0.05, iters: int = 100):
     """Pair minibatch noise x0 with data x1 by minibatch OT.

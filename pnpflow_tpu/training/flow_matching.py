@@ -59,10 +59,27 @@ def make_fm_loss(model_apply):
     return loss_fn
 
 
+def _apply_updates(state, loss_and_grads, tx, ema_decay):
+    loss, grads = loss_and_grads
+    updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+    params = optax.apply_updates(state["params"], updates)
+    ema = jax.tree_util.tree_map(
+        lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+        state["ema"], params,
+    )
+    return (
+        {"params": params, "opt_state": opt_state, "ema": ema,
+         "step": state["step"] + 1},
+        loss,
+    )
+
+
 def make_fm_train_step(model_apply, tx, *, coupling: str = "ot",
                        ema_decay: float = 0.999,
-                       ot_method: str = "exact"):
-    """Build the jitted train step ``(state, x1, key) -> (state, loss)``.
+                       ot_method: str = "sinkhorn"):
+    """Build the jitted train step ``(state, x1, key) -> (state, loss)``
+    with the coupling computed INSIDE the jitted program (indep, on-device
+    Sinkhorn, or exact via host callback on backends that support it).
 
     ``state`` is a dict {params, opt_state, ema, step}.  The step is pure;
     shard x1 over the mesh data axis and XLA inserts the psum for grads.
@@ -78,17 +95,31 @@ def make_fm_train_step(model_apply, tx, *, coupling: str = "ot",
             i0, i1 = ot_pair_indices(x0, x1, k_pair, method=ot_method)
             x0, x1 = x0[i0], x1[i1]
 
-        loss, grads = jax.value_and_grad(loss_fn)(state["params"], x0, x1, t)
-        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
-        params = optax.apply_updates(state["params"], updates)
-        ema = jax.tree_util.tree_map(
-            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
-            state["ema"], params,
+        return _apply_updates(
+            state, jax.value_and_grad(loss_fn)(state["params"], x0, x1, t),
+            tx, ema_decay,
         )
-        return (
-            {"params": params, "opt_state": opt_state, "ema": ema,
-             "step": state["step"] + 1},
-            loss,
+
+    return train_step
+
+
+def make_fm_train_step_precoupled(model_apply, tx, *,
+                                  ema_decay: float = 0.999):
+    """Jitted train step ``(state, x0, x1, key) -> (state, loss)`` for
+    ALREADY-COUPLED (x0, x1) pairs.
+
+    Used with host-side exact OT pairing (ops/ot.py:host_ot_pair — the C++
+    Jonker-Volgenant solver) on backends without host-callback support: the
+    pairing runs between steps on the host, the device program is pure
+    compute.
+    """
+    loss_fn = make_fm_loss(model_apply)
+
+    def train_step(state, x0, x1, key):
+        t = jax.random.uniform(key, (x1.shape[0],), x1.dtype)
+        return _apply_updates(
+            state, jax.value_and_grad(loss_fn)(state["params"], x0, x1, t),
+            tx, ema_decay,
         )
 
     return train_step
@@ -104,6 +135,38 @@ def euler_sample(model_apply, params, key, shape, steps: int = 100):
         return x + dt * model_apply(params, x, t), None
 
     x, _ = jax.lax.scan(body, x, jnp.arange(steps, dtype=jnp.float32))
+    return x
+
+
+def euler_sample_stochastic(model_apply, params, key, shape,
+                            steps: int = 100, sigma_var: float = 0.0,
+                            noise_scale: float = 1.0, eps: float = 1e-3):
+    """Stochastic Euler sampler converting the flow ODE into an equivalent
+    diffusion while preserving marginals (vendored sampling.py:69-105,
+    sigma_t(t) = (1-t) * sigma_var).  sigma_var = 0 reduces to plain Euler
+    over t in [eps, 1]."""
+    k0, k_loop = jax.random.split(key)
+    x = noise_scale * jax.random.normal(k0, shape)
+    dt = 1.0 / steps
+
+    def body(carry, i):
+        x, key = carry
+        num_t = i / steps * (1.0 - eps) + eps
+        t = jnp.full((shape[0],), num_t, dtype=jnp.float32)
+        pred = model_apply(params, x, t)
+        sigma_t = (1.0 - num_t) * sigma_var
+        pred_sigma = pred + (sigma_t**2) / (
+            2.0 * (noise_scale**2) * (1.0 - num_t) ** 2
+        ) * (0.5 * num_t * (1.0 - num_t) * pred - 0.5 * (2.0 - num_t) * x)
+        key, sub = jax.random.split(key)
+        x = x + pred_sigma * dt + sigma_t * jnp.sqrt(dt) * jax.random.normal(
+            sub, shape
+        )
+        return (x, key), None
+
+    (x, _), _ = jax.lax.scan(
+        body, (x, k_loop), jnp.arange(steps, dtype=jnp.float32)
+    )
     return x
 
 
@@ -131,11 +194,20 @@ class FlowMatchingTrainer:
         os.makedirs(self.model_dir, exist_ok=True)
         self.mesh = make_mesh()
         self.tx = optax.adam(self.lr)
-        self.train_step = make_fm_train_step(
-            self.model.apply, self.tx, coupling=self.coupling,
-            ema_decay=self.ema_decay,
-            ot_method=getattr(args, "ot_method", "exact"),
-        )
+        # exact OT pairing runs on the HOST between steps (C++ LAP solver)
+        # — in-jit host callbacks are unsupported on some TPU runtimes;
+        # 'sinkhorn' keeps the coupling fully on-device instead.
+        self.ot_method = getattr(args, "ot_method", "exact") or "exact"
+        self.precoupled = self.coupling == "ot" and self.ot_method == "exact"
+        if self.precoupled:
+            self.train_step = make_fm_train_step_precoupled(
+                self.model.apply, self.tx, ema_decay=self.ema_decay
+            )
+        else:
+            self.train_step = make_fm_train_step(
+                self.model.apply, self.tx, coupling=self.coupling,
+                ema_decay=self.ema_decay, ot_method=self.ot_method,
+            )
 
     # -- state ---------------------------------------------------------------
     def init_state(self, seed: int = 0):
@@ -192,7 +264,7 @@ class FlowMatchingTrainer:
             f.write("num_params {}\n".format(n_params))
 
         key = jax.random.PRNGKey(int(getattr(args, "seed", 0) or 0))
-        step0 = int(jax.device_get(state["step"]))
+        host_rng = np.random.default_rng(int(getattr(args, "seed", 0) or 0))
         for epoch in range(self.num_epoch):
             t_ep = time.perf_counter()
             losses = []
@@ -202,9 +274,25 @@ class FlowMatchingTrainer:
                     and iteration > self.max_iters_per_epoch - 1
                 ):
                     break
-                x1 = shard_batch(np.asarray(x1, dtype=np.float32), self.mesh)
+                x1 = np.asarray(x1, dtype=np.float32)
                 key, sub = jax.random.split(key)
-                state, loss = self.train_step(state, x1, sub)
+                if self.precoupled:
+                    from pnpflow_tpu.ops.ot import host_ot_pair
+
+                    x0 = host_rng.standard_normal(
+                        x1.shape, dtype=np.float32
+                    )
+                    i0, i1 = host_ot_pair(x0, x1, host_rng)
+                    state, loss = self.train_step(
+                        state,
+                        shard_batch(x0[i0], self.mesh),
+                        shard_batch(x1[i1], self.mesh),
+                        sub,
+                    )
+                else:
+                    state, loss = self.train_step(
+                        state, shard_batch(x1, self.mesh), sub
+                    )
                 losses.append(loss)
             losses = [float(v) for v in jax.device_get(losses)]
             with open(loss_file, "a") as f:
@@ -219,8 +307,35 @@ class FlowMatchingTrainer:
             if epoch % self.save_every == 0:
                 self.save_state(state, epoch)
                 self._save_sample_plot(state, epoch)
+                self._fid_checkpoint(state, epoch, data_loaders)
         self.save_state(state)
         return state
+
+    def _fid_checkpoint(self, state, epoch, data_loaders, n: int = 5000):
+        """FID-5k training curve via Euler-10-step sampling (reference
+        train_flow_matching.py:117-129), appended to FID_5k.txt.  Skipped
+        unless ``args.compute_metrics`` is set (it costs n model samples)."""
+        if not getattr(self.args, "compute_metrics", False):
+            return
+        try:
+            from pnpflow_tpu.metrics.generative import ComputeMetric
+            from pnpflow_tpu.solvers.base import ModelBundle
+
+            test = data_loaders.get("test") or data_loaders.get("train")
+            bundle = ModelBundle(
+                apply=self.model.apply, params=state["ema"],
+                kind=self.args.model,
+            )
+            args = self.args
+            if "eval_split" not in args:
+                args.eval_split = "test"
+            out = ComputeMetric({"test": test}, bundle, args).compute_metrics(
+                n, steps=10
+            )
+            with open(os.path.join(self.model_dir, "FID_5k.txt"), "a") as f:
+                f.write("{} {}\n".format(epoch, out["fid"]))
+        except Exception as exc:  # pragma: no cover
+            print("FID checkpoint skipped:", exc)
 
     # -- sampling / eval ------------------------------------------------------
     def apply_flow_matching(self, state_or_params, n: int, key=None,

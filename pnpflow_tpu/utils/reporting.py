@@ -273,6 +273,53 @@ def save_images(clean_img, noisy_img, rec_img, args, H_adj, iter="final"):
     cols = max(int(math.sqrt(batch_size)), 1)
     rows = max(batch_size // cols, 1)
 
+    # test split: first batches additionally get per-image .eps files with
+    # the PSNR embedded in the filename (reference utils.py:509-543 —
+    # batch < 4, or < 8 for d_flow; clean/noisy only for pnp_flow)
+    if (
+        getattr(args, "eval_split", None) == "test"
+        and (
+            (args.batch < 8 and args.method == "d_flow") or args.batch < 4
+        )
+    ):
+        def psnr_of(a, b):
+            mse = float(np.mean((a - b) ** 2))
+            return 10.0 * math.log10(1.0 / max(mse, 1e-20))
+
+        def save_one(img2d, fname):
+            fig = plt.figure()
+            shown = np.clip(img2d, 0, 1)
+            if shown.shape[-1] == 1:
+                plt.imshow(shown[..., 0], cmap="gray", vmin=0, vmax=1)
+            else:
+                plt.imshow(shown)
+            plt.axis("off")
+            fig.savefig(
+                os.path.join(args.save_path_ip, fname),
+                bbox_inches="tight", pad_inches=0,
+            )
+            plt.close(fig)
+
+        for i in range(batch_size):
+            p = args.problem
+            if args.method == "pnp_flow":
+                save_one(
+                    clean[i], f"{p}_clean_batch{args.batch}_im{i}.eps"
+                )
+                save_one(
+                    noisy[i],
+                    "{}_noisy_batch{}_im{}_pnsr{:4.2f}.eps".format(
+                        p, args.batch, i, psnr_of(clean[i], noisy[i])
+                    ),
+                )
+            save_one(
+                rec[i],
+                "{}_{}_batch{}_im{}_iter{}_pnsr{:4.2f}.eps".format(
+                    p, args.method, args.batch, i, iter,
+                    psnr_of(clean[i], rec[i]),
+                ),
+            )
+
     names = ["clean", "noisy", args.method]
     for name, img in zip(names, [clean, noisy, rec]):
         fig, ax = plt.subplots(rows, cols, squeeze=False)
