@@ -32,10 +32,13 @@ import numpy as np
 import pnpflow_tpu.utils.jax_setup  # noqa: F401  (persistent compile cache)
 
 
+import os
+
 DIM = 64
-BATCH = 32
+BATCH = int(os.environ.get("BENCH_BATCH", 32))
 STEPS = 100
 NUM_SAMPLES = 5
+NORM_BF16 = os.environ.get("BENCH_NORM_BF16", "0") == "1"
 
 
 # One U-Net forward at batch 1, 64x64: 12.431 GFLOP (measured once via
@@ -52,6 +55,7 @@ def main():
     model = VelocityUNet(
         input_channels=3, input_height=DIM, ch=32, ch_mult=(1, 2, 4, 8),
         num_res_blocks=6, attn_resolutions=(16, 8), dtype=jnp.bfloat16,
+        norm_dtype=jnp.bfloat16 if NORM_BF16 else None,
     )
     x0 = jnp.zeros((1, DIM, DIM, 3))
     params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,)))

@@ -75,8 +75,11 @@ class TimestepEmbedding(nn.Module):
         return temb
 
 
-def group_norm(name: str):
-    return nn.GroupNorm(num_groups=32, epsilon=1e-6, name=name)
+def group_norm(name: str, dtype=None):
+    """GroupNorm(32, eps 1e-6).  ``dtype=None`` keeps fp32 statistics (the
+    parity-safe default); pass bf16 to stay in the low-precision dataflow on
+    the fast path."""
+    return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=dtype, name=name)
 
 
 class ResidualBlock(nn.Module):
@@ -86,11 +89,12 @@ class ResidualBlock(nn.Module):
     out_ch: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    norm_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, temb, deterministic: bool = True):
         in_ch = x.shape[-1]
-        h = nn.swish(group_norm("norm1")(x))
+        h = nn.swish(group_norm("norm1", self.norm_dtype)(x))
         h = nn.Conv(
             self.out_ch, (3, 3), padding=1, kernel_init=vs_init(),
             bias_init=nn.initializers.zeros, dtype=self.dtype, name="conv1",
@@ -99,7 +103,7 @@ class ResidualBlock(nn.Module):
             self.out_ch, kernel_init=vs_init(), bias_init=nn.initializers.zeros,
             dtype=self.dtype, name="temb_proj",
         )(nn.swish(temb))[:, None, None, :]
-        h = nn.swish(group_norm("norm2")(h))
+        h = nn.swish(group_norm("norm2", self.norm_dtype)(h))
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(
@@ -121,11 +125,12 @@ class SelfAttention(nn.Module):
     zero-init output projection, residual add."""
 
     dtype: jnp.dtype = jnp.float32
+    norm_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, temb=None):
         b, hh, ww, c = x.shape
-        h = group_norm("norm")(x)
+        h = group_norm("norm", self.norm_dtype)(x)
 
         def conv1x1(name, scale=1.0):
             return nn.Conv(
@@ -192,6 +197,7 @@ class VelocityUNet(nn.Module):
     dropout: float = 0.0
     resamp_with_conv: bool = True
     dtype: jnp.dtype = jnp.float32
+    norm_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, t, deterministic: bool = True):
@@ -222,11 +228,13 @@ class VelocityUNet(nn.Module):
             for i_block in range(self.num_res_blocks):
                 h = ResidualBlock(
                     block_out, dropout=self.dropout, dtype=self.dtype,
+                    norm_dtype=self.norm_dtype,
                     name=f"down_{i_level}_block_{i_block}",
                 )(hs[-1], temb, deterministic)
                 if h.shape[1] in self.attn_resolutions:
                     h = SelfAttention(
-                        dtype=self.dtype, name=f"down_{i_level}_attn_{i_block}"
+                        dtype=self.dtype, norm_dtype=self.norm_dtype,
+                        name=f"down_{i_level}_attn_{i_block}",
                     )(h)
                 hs.append(h)
             if i_level != num_resolutions - 1:
@@ -240,11 +248,13 @@ class VelocityUNet(nn.Module):
         # Middle
         h = hs[-1]
         h = ResidualBlock(
-            h.shape[-1], dropout=self.dropout, dtype=self.dtype, name="mid_block_0"
+            h.shape[-1], dropout=self.dropout, dtype=self.dtype,
+            norm_dtype=self.norm_dtype, name="mid_block_0",
         )(h, temb, deterministic)
-        h = SelfAttention(dtype=self.dtype, name="mid_attn")(h)
+        h = SelfAttention(dtype=self.dtype, norm_dtype=self.norm_dtype, name="mid_attn")(h)
         h = ResidualBlock(
-            h.shape[-1], dropout=self.dropout, dtype=self.dtype, name="mid_block_1"
+            h.shape[-1], dropout=self.dropout, dtype=self.dtype,
+            norm_dtype=self.norm_dtype, name="mid_block_1",
         )(h, temb, deterministic)
 
         # Up path
@@ -253,18 +263,20 @@ class VelocityUNet(nn.Module):
             for i_block in range(self.num_res_blocks + 1):
                 h = ResidualBlock(
                     block_out, dropout=self.dropout, dtype=self.dtype,
+                    norm_dtype=self.norm_dtype,
                     name=f"up_{i_level}_block_{i_block}",
                 )(jnp.concatenate([h, hs.pop()], axis=-1), temb, deterministic)
                 if h.shape[1] in self.attn_resolutions:
                     h = SelfAttention(
-                        dtype=self.dtype, name=f"up_{i_level}_attn_{i_block}"
+                        dtype=self.dtype, norm_dtype=self.norm_dtype,
+                        name=f"up_{i_level}_attn_{i_block}",
                     )(h)
             if i_level != 0:
                 h = Upsample(dtype=self.dtype, name=f"up_{i_level}_upsample")(h)
         assert not hs
 
         # End
-        h = nn.swish(group_norm("end_norm")(h))
+        h = nn.swish(group_norm("end_norm", self.norm_dtype)(h))
         h = nn.Conv(
             out_ch, (3, 3), padding=1, kernel_init=vs_init(0.0),
             bias_init=nn.initializers.zeros, dtype=self.dtype, name="end_conv",

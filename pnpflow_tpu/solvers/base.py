@@ -94,6 +94,13 @@ class Solver:
         H_adj = degradation.H_adj
         args.sigma_noise = sigma_noise
 
+        # tracing/profiling subsystem: ``--opts jax_profile <dir>`` captures
+        # a device trace of the whole restoration run (view with
+        # tensorboard-plugin-profile / xprof)
+        profile_dir = getattr(args, "jax_profile", None)
+        if profile_dir:
+            jax.profiler.start_trace(str(profile_dir))
+
         measure = make_measurement_fn(H, sigma_noise, args.noise_type)
 
         loader = iter(test_loader)
@@ -143,6 +150,9 @@ class Solver:
                     clean_img, noisy_img, x, args, H_adj, iter="final"
                 )
                 report_cb(x, last_iter)
+
+        if profile_dir:
+            jax.profiler.stop_trace()
 
         if args.save_results:
             reporting.compute_average_psnr(args)

@@ -224,6 +224,14 @@ class FlowMatchingTrainer:
     def _state_path(self):
         return os.path.join(self.model_dir, "train_state.msgpack")
 
+    def save_preemption(self, state):
+        """Lightweight per-epoch resume point (the vendored trainer's
+        checkpoints-meta pattern, run_lib_pytorch.py:73-80)."""
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(state)))
+        os.replace(tmp, self._state_path())
+
     def save_state(self, state, epoch=None):
         state = jax.device_get(state)
         with open(self._state_path(), "wb") as f:
@@ -275,6 +283,7 @@ class FlowMatchingTrainer:
                 ):
                     break
                 x1 = np.asarray(x1, dtype=np.float32)
+                self._last_batch = x1
                 key, sub = jax.random.split(key)
                 if self.precoupled:
                     from pnpflow_tpu.ops.ot import host_ot_pair
@@ -304,6 +313,7 @@ class FlowMatchingTrainer:
                     time.perf_counter() - t_ep,
                 )
             )
+            self.save_preemption(state)
             if epoch % self.save_every == 0:
                 self.save_state(state, epoch)
                 self._save_sample_plot(state, epoch)
@@ -339,17 +349,36 @@ class FlowMatchingTrainer:
 
     # -- sampling / eval ------------------------------------------------------
     def apply_flow_matching(self, state_or_params, n: int, key=None,
-                            steps: int = 100, use_ema: bool = True):
+                            steps: int = 100, use_ema: bool = True,
+                            method: str = "euler"):
+        """Sample n images by integrating the flow ODE from noise.
+
+        ``method='euler'`` is the fixed-step sampler; ``'dopri5'`` matches
+        the reference's adaptive odeint at rtol=atol=1e-5
+        (train_flow_matching.py:131-150).
+        """
         params = state_or_params
         if isinstance(state_or_params, dict) and "params" in state_or_params:
             params = state_or_params["ema" if use_ema else "params"]
         key = jax.random.PRNGKey(0) if key is None else key
         dim, c = self.args.dim_image, self.args.num_channels
-        return euler_sample(
-            self.model.apply, params, key, (n, dim, dim, c), steps=steps
-        )
+        if method == "euler":
+            return euler_sample(
+                self.model.apply, params, key, (n, dim, dim, c), steps=steps
+            )
+        from pnpflow_tpu.ops.ode import odeint_dopri5
+
+        z = jax.random.normal(key, (n, dim, dim, c))
+
+        def vfield(x, t):
+            t_vec = jnp.full((x.shape[0],), t, dtype=jnp.float32)
+            return self.model.apply(params, x, t_vec)
+
+        return odeint_dopri5(vfield, z, 0.0, 1.0, rtol=1e-5, atol=1e-5)
 
     def _save_sample_plot(self, state, epoch):
+        """Model samples next to training samples (reference save_samples,
+        utils.py:399-430)."""
         try:
             import matplotlib
 
@@ -361,10 +390,24 @@ class FlowMatchingTrainer:
             self.apply_flow_matching(state, 16, steps=10)
         )
         samples = np.clip((samples + 1.0) / 2.0, 0, 1)
-        fig, axes = plt.subplots(4, 4, figsize=(6, 6))
-        for i, ax in enumerate(axes.flat):
+        train = getattr(self, "_last_batch", None)
+        ncols = 8 if train is not None else 4
+        fig, axes = plt.subplots(4, ncols, figsize=(1.5 * ncols, 6))
+        for i in range(16):
+            r, c = i % 4, i // 4
             img = samples[i]
-            ax.imshow(img[..., 0] if img.shape[-1] == 1 else img, cmap="gray")
-            ax.axis("off")
+            axes[r][c].imshow(
+                img[..., 0] if img.shape[-1] == 1 else img, cmap="gray"
+            )
+            axes[r][c].axis("off")
+            if train is not None and i < len(train):
+                timg = np.clip((train[i] + 1.0) / 2.0, 0, 1)
+                axes[r][c + 4].imshow(
+                    timg[..., 0] if timg.shape[-1] == 1 else timg,
+                    cmap="gray",
+                )
+            if train is not None:
+                axes[r][c + 4].axis("off")
+        fig.suptitle("model samples | training samples")
         fig.savefig(os.path.join(self.model_dir, f"samples_{epoch}.png"))
         plt.close(fig)
