@@ -35,10 +35,12 @@ import pnpflow_tpu.utils.jax_setup  # noqa: F401  (persistent compile cache)
 import os
 
 DIM = 64
-BATCH = int(os.environ.get("BENCH_BATCH", 32))
+# batch 64 + bf16 GroupNorm measured fastest on v5e (9.78 -> 11.94 img/s
+# over batch 32 + fp32 norm; batch 128 regresses to 10.69)
+BATCH = int(os.environ.get("BENCH_BATCH", 64))
 STEPS = 100
 NUM_SAMPLES = 5
-NORM_BF16 = os.environ.get("BENCH_NORM_BF16", "0") == "1"
+NORM_BF16 = os.environ.get("BENCH_NORM_BF16", "1") == "1"
 
 
 # One U-Net forward at batch 1, 64x64: 12.431 GFLOP (measured once via

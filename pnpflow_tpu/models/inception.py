@@ -181,18 +181,29 @@ def load_inception_params(path: str):
 
 def get_inception_feature_fn(args, batch: int = 50):
     """Jitted (N, H, W, C)[0,1] -> (N, 2048) feature fn, or None if the
-    converted weight file is missing."""
+    converted weight file is missing.
+
+    Multi-device: each sub-batch is sharded over the mesh 'data' axis — the
+    TPU-native equivalent of the reference's per-device Inception fan-out
+    (image_generation/evaluation.py:106-146)."""
     path = os.path.join(args.output_root, "model", "inception_fid.npz")
     if not os.path.exists(path):
         return None
     if path not in _CACHE:
+        from pnpflow_tpu.parallel.mesh import make_mesh, shard_batch
+
         params = load_inception_params(path)
         fwd = jax.jit(lambda x: inception_pool3(params, x))
+        mesh = make_mesh() if len(jax.devices()) > 1 else None
 
         def feature_fn(x01):
             outs = []
+            n_dev = len(jax.devices())
             for i in range(0, x01.shape[0], batch):
-                outs.append(fwd(x01[i : i + batch]))
+                chunk = x01[i : i + batch]
+                if mesh is not None and chunk.shape[0] % n_dev == 0:
+                    chunk = shard_batch(np.asarray(chunk), mesh)
+                outs.append(fwd(chunk))
             return jnp.concatenate(outs, axis=0)
 
         _CACHE[path] = feature_fn

@@ -208,13 +208,16 @@ class GradientStepTrainer:
             f.write("Batch size: {}\n".format(args.batch_size_train))
             f.write("Learning rate: {}\n".format(self.lr))
 
+        from pnpflow_tpu.data.prefetch import prefetch
+
+        train_loader = prefetch(data_loaders["train"])
         rng = _pyrandom.Random(int(getattr(args, "seed", 0) or 0))
         key = jax.random.PRNGKey(int(getattr(args, "seed", 0) or 0))
         loss_file = os.path.join(self.results_dir, "loss_training.txt")
         epoch_file = os.path.join(self.results_dir, "losses_gradient_step.txt")
         for ep in range(self.num_epoch):
             loss = psnr = float("nan")
-            for iteration, (y, _) in enumerate(data_loaders["train"]):
+            for iteration, (y, _) in enumerate(train_loader):
                 if len(y) == 0:
                     continue
                 y = shard_batch(np.asarray(y, dtype=np.float32), self.mesh)

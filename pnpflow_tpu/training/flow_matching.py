@@ -254,8 +254,10 @@ class FlowMatchingTrainer:
 
     # -- loop ----------------------------------------------------------------
     def train(self, data_loaders):
+        from pnpflow_tpu.data.prefetch import prefetch
+
         args = self.args
-        train_loader = data_loaders["train"]
+        train_loader = prefetch(data_loaders["train"])
         state = self.init_state(int(getattr(args, "seed", 0) or 0))
         state, resumed = self.restore_state(state)
         if resumed:

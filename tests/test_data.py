@@ -82,3 +82,28 @@ def test_unknown_dataset_raises():
 
     with pytest.raises(ValueError):
         DataLoaders("nope", 1, 1).load_data()
+
+
+def test_prefetch_iterator_matches_and_propagates_errors():
+    from pnpflow_tpu.data.prefetch import PrefetchIterator, prefetch
+
+    data = [(np.full((2, 2), i), i) for i in range(5)]
+    out = list(PrefetchIterator(data, depth=2))
+    assert len(out) == 5
+    assert all(np.allclose(a[0], b[0]) for a, b in zip(out, data))
+    # re-iterable
+    assert len(list(PrefetchIterator(data))) == 5
+
+    class Boom:
+        def __iter__(self):
+            yield data[0]
+            raise RuntimeError("decode failed")
+
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        list(PrefetchIterator(Boom()))
+
+    d = prefetch({"train": data, "val": None})
+    assert d["val"] is None
+    assert len(list(d["train"])) == 5
