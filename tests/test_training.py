@@ -213,3 +213,34 @@ def test_denoiser_train_step_descends(tmp_path):
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_sharded_train_step_matches_single_device(tiny):
+    """Data-parallel sharded training step must produce the same update as
+    the unsharded run (same key, deterministic sinkhorn coupling)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pnpflow_tpu.parallel.mesh import make_mesh
+
+    m, params = tiny
+    tx = optax.adam(1e-3)
+    step = make_fm_train_step(m.apply, tx, coupling="ot",
+                              ot_method="sinkhorn")
+    x1 = jax.random.normal(jax.random.PRNGKey(5), (8, DIM, DIM, 1))
+    key = jax.random.PRNGKey(6)
+
+    state_ref = _state(params, tx)
+    state_ref, loss_ref = step(state_ref, x1, key)
+
+    mesh = make_mesh()
+    repl = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("data", None, None, None))
+    state_sh = jax.device_put(_state(params, tx), repl)
+    sharded_step = jax.jit(step, in_shardings=(repl, dp, repl),
+                           out_shardings=(repl, repl))
+    state_sh, loss_sh = sharded_step(
+        state_sh, jax.device_put(x1, dp), jax.device_put(key, repl)
+    )
+    assert abs(float(loss_ref) - float(loss_sh)) < 1e-3
+    a = jax.tree_util.tree_leaves(state_ref["params"])[0]
+    b = jax.tree_util.tree_leaves(state_sh["params"])[0]
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
