@@ -86,7 +86,20 @@ def load_params(module, args, require: bool = False):
     if os.path.exists(paths["msgpack"]):
         template = init_params(module, args)
         with open(paths["msgpack"], "rb") as f:
-            return serialization.from_bytes(template, f.read())
+            try:
+                return serialization.from_bytes(template, f.read())
+            except ValueError as exc:
+                # checkpoint belongs to a different architecture (e.g. a
+                # different dim_image) — fail loudly when weights are
+                # required, fall through to random init otherwise
+                if require:
+                    raise
+                warnings.warn(
+                    "Checkpoint at {} does not match the current model "
+                    "configuration ({}) — ignoring it.".format(
+                        paths["msgpack"], exc
+                    )
+                )
     if os.path.exists(paths["torch"]):
         from pnpflow_tpu.utils.torch_convert import (
             convert_unet_state_dict,

@@ -64,8 +64,16 @@ def make_measurement_fn(H, sigma_noise, noise_type):
 
 
 def peak_memory_bytes() -> int:
+    """Device peak memory; falls back to the live-array footprint on
+    runtimes that expose no memory_stats (e.g. tunneled TPUs)."""
     stats = jax.local_devices()[0].memory_stats() or {}
-    return int(stats.get("peak_bytes_in_use", 0))
+    peak = int(stats.get("peak_bytes_in_use", 0))
+    if peak == 0:
+        peak = sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize
+            for a in jax.live_arrays()
+        )
+    return peak
 
 
 class Solver:

@@ -1,0 +1,87 @@
+"""Model registry: build/load/save resolution and mismatch robustness."""
+
+import os
+import warnings
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pnpflow_tpu.models.registry import (
+    build_model_bundle,
+    checkpoint_paths,
+    define_model,
+    init_params,
+    load_params,
+    save_params,
+)
+from pnpflow_tpu.utils.config import CfgNode
+
+
+def _args(tmp_path, dim=16, model="ot"):
+    return CfgNode(
+        dict(dataset="synthetic", model=model, dim_image=dim,
+             num_channels=1, seed=0, output_root=str(tmp_path) + "/")
+    )
+
+
+def test_random_init_warns(tmp_path):
+    args = _args(tmp_path)
+    module = define_model(args)
+    with pytest.warns(UserWarning, match="random init"):
+        load_params(module, args)
+
+
+def test_msgpack_roundtrip(tmp_path):
+    args = _args(tmp_path)
+    module = define_model(args)
+    params = init_params(module, args, seed=3)
+    save_params(params, checkpoint_paths(args)["msgpack"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # must NOT warn now
+        loaded = load_params(module, args)
+    import jax
+
+    a = jax.tree_util.tree_leaves(params)[0]
+    b = jax.tree_util.tree_leaves(loaded)[0]
+    assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_mismatched_checkpoint_falls_back(tmp_path):
+    """A checkpoint trained at a different dim_image must not crash eval —
+    warn and fall back to random init (require=False)."""
+    args16 = _args(tmp_path, dim=16)
+    m16 = define_model(args16)
+    save_params(init_params(m16, args16), checkpoint_paths(args16)["msgpack"])
+
+    args64 = _args(tmp_path, dim=64)  # attn levels differ at dim 64
+    m64 = define_model(args64)
+    with pytest.warns(UserWarning, match="does not match"):
+        params = load_params(m64, args64)
+    out = m64.apply(params, jnp.zeros((1, 64, 64, 1)), jnp.zeros((1,)))
+    assert out.shape == (1, 64, 64, 1)
+
+    with pytest.raises(ValueError):
+        load_params(m64, args64, require=True)
+
+
+def test_bundle_rectified_scales_t(tmp_path):
+    """kind='rectified' folds the t*999 scaling into apply
+    (reference pnp_flow.py:23-27)."""
+    calls = {}
+
+    class FakeModule:
+        def apply(self, p, x, t):
+            calls["t"] = t
+            return x
+
+    from pnpflow_tpu.solvers.base import ModelBundle
+
+    module = FakeModule()
+
+    def apply(p, x, t):
+        return module.apply(p, x, t * 999.0)
+
+    b = ModelBundle(apply=apply, params=None, kind="rectified")
+    b.forward(jnp.zeros((1, 4, 4, 1)), jnp.full((1,), 0.5))
+    assert float(calls["t"][0]) == pytest.approx(499.5)
