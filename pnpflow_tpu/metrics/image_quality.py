@@ -13,7 +13,6 @@ averaged over everything.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

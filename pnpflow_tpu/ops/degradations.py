@@ -27,7 +27,6 @@ Semantics parity notes (cited against the reference):
 
 from __future__ import annotations
 
-import math
 import random as _pyrandom
 
 import numpy as np

@@ -23,7 +23,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from pnpflow_tpu.ops.ode import odeint_midpoint
 
 
 def divergence_hutchinson(model_fwd, x, t_vec, key, n_probes: int = 1):

@@ -24,7 +24,6 @@ utils.py:243-270 (rand<0.5 -> ±1); the whole N*K loop is a nested
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

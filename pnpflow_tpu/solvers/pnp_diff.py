@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from pnpflow_tpu.solvers.base import Solver
-import pnpflow_tpu.utils.reporting as reporting
 
 _MASK_PROBLEMS = ("inpainting", "random_inpainting", "paintbrush_inpainting")
 _T = 1000

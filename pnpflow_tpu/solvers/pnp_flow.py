@@ -25,7 +25,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from pnpflow_tpu.solvers.base import ModelBundle, Solver
+from pnpflow_tpu.solvers.base import Solver
 
 
 def _gamma(style: str, lr, t, alpha: float):

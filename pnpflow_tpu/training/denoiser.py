@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import os
 import random as _pyrandom
-from functools import partial
 
 import numpy as np
 import jax

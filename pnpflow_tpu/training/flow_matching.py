@@ -28,8 +28,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
-from typing import Any
 
 import numpy as np
 import jax
@@ -38,12 +36,7 @@ import optax
 from flax import serialization
 
 from pnpflow_tpu.ops.ot import ot_pair_indices
-from pnpflow_tpu.parallel.mesh import (
-    data_parallel_sharding,
-    make_mesh,
-    replicate,
-    shard_batch,
-)
+from pnpflow_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
 
 def make_fm_loss(model_apply):
