@@ -283,3 +283,21 @@ def test_diffunet_forward_shapes():
     params = net.init(jax.random.PRNGKey(0), x, t)
     out = net.apply(params, x, t)
     assert out.shape == (2, DIM, DIM, 6)
+
+
+def test_pnp_diff_l1_prox_soft_thresholds_identity():
+    """For H = Id the L1 dual prox must reduce to soft-thresholding toward
+    the measurement: prox_{gamma |x - y|}(x0) = y + soft(x0 - y, gamma)."""
+    from pnpflow_tpu.solvers.pnp_diff import make_prox
+
+    op = Denoising()
+    prox = jax.jit(make_prox("denoising", op, 0.05, "laplace"))
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(1, 8, 8, 1)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(1, 8, 8, 1)).astype(np.float32))
+    gamma = 0.3
+    got = np.asarray(prox(x0, y, gamma))
+    d = np.asarray(x0) - np.asarray(y)
+    soft = np.sign(d) * np.maximum(np.abs(d) - gamma, 0.0)
+    expected = np.asarray(y) + soft
+    assert np.allclose(got, expected, atol=1e-3), np.abs(got - expected).max()
