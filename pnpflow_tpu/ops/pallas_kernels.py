@@ -9,12 +9,10 @@ the MXU, while the VPU formulation is pure bandwidth.
 
 Decomposition: every upfirdn2d = (zero-insert up) -> pad -> dense KxK FIR ->
 decimate.  Zero-insertion and decimation are trivial XLA ops; the dense FIR
-is the Pallas kernel ``fir2d``:
-
-  * grid (B, H/TILE_H); x is pre-padded on the host side of the call;
-  * each program DMAs its (TILE_H + K - 1) input rows HBM -> VMEM scratch,
-    accumulates the K*K taps as statically-shifted adds, writes TILE_H rows;
-  * channels ride the lane dimension (NHWC), rows the sublane dimension.
+is the Pallas kernel ``fir2d``: grid over the batch, one padded image per
+program in VMEM, K*K statically-shifted adds (channels ride the lane
+dimension, rows/cols the sublanes).  Images too large for VMEM fall back to
+the XLA conv formulation.
 
 ``fused_bias_act`` needs no kernel — XLA already fuses bias+leaky-ReLU into
 neighbors (ops/upfirdn.py:fused_leaky_relu).
@@ -30,38 +28,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _pick_tile_h(h_out: int, w: int, c: int, k: int,
-                 vmem_budget: int = 8 * 1024 * 1024) -> int:
-    """Largest power-of-two row tile whose scratch+out fit the VMEM budget."""
-    for tile in (64, 32, 16, 8, 4, 2, 1):
-        if tile > h_out:
-            continue
-        scratch = (tile + k - 1) * w * c * 4
-        out = tile * w * c * 4
-        if scratch + out <= vmem_budget and h_out % tile == 0:
-            return tile
-    return 1
+# per-program VMEM budget for in-block FIR (input block + output block)
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _fir2d_kernel(x_hbm, out_ref, scratch, sem, *, taps, tile_h, w_out,
-                  kh, kw):
-    b = pl.program_id(0)
-    ht = pl.program_id(1)
-    rows = tile_h + kh - 1
-    dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(ht * tile_h, rows)], scratch, sem
-    )
-    dma.start()
-    dma.wait()
-
-    acc = jnp.zeros((tile_h, w_out, scratch.shape[-1]), jnp.float32)
+def _fir2d_kernel(x_ref, out_ref, *, taps, h_out, w_out):
+    kh = len(taps)
+    kw = len(taps[0])
+    acc = jnp.zeros((h_out, w_out, x_ref.shape[-1]), jnp.float32)
     for p in range(kh):
         for q in range(kw):
             tap = taps[p][q]
             if tap == 0.0:
                 continue
-            acc += tap * scratch[p : p + tile_h, q : q + w_out, :]
+            acc += tap * x_ref[0, p : p + h_out, q : q + w_out, :].astype(
+                jnp.float32
+            )
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -78,27 +60,30 @@ def _fir2d_padded(x_padded, k: tuple, interpret: bool = False):
     h_out, w_out = hp - kh + 1, wp - kw + 1
     # true convolution = correlation with the flipped taps
     taps = tuple(tuple(reversed(row)) for row in reversed(k))
-    tile_h = _pick_tile_h(h_out, wp, c, kh)
 
     kernel = functools.partial(
-        _fir2d_kernel, taps=taps, tile_h=tile_h, w_out=w_out, kh=kh, kw=kw
+        _fir2d_kernel, taps=taps, h_out=h_out, w_out=w_out
     )
     return pl.pallas_call(
         kernel,
-        grid=(b, h_out // tile_h),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hp, wp, c), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
         out_specs=pl.BlockSpec(
-            (1, tile_h, w_out, c),
-            lambda i, j: (i, j, 0, 0),
+            (1, h_out, w_out, c), lambda i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h_out, w_out, c), x_padded.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tile_h + kh - 1, wp, c), x_padded.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
     )(x_padded)
+
+
+def _fits_vmem(hp, wp, c, itemsize=4):
+    return 2 * hp * wp * c * itemsize <= _VMEM_BUDGET
 
 
 def upfirdn2d_pallas(x, k: np.ndarray, up: int = 1, down: int = 1,
@@ -107,12 +92,20 @@ def upfirdn2d_pallas(x, k: np.ndarray, up: int = 1, down: int = 1,
 
     Matches ``ops.upfirdn.upfirdn2d`` / the reference ``upfirdn2d_native``
     semantics (op/upfirdn2d.py:159-200).  Zero-insertion and decimation are
-    XLA; the KxK FIR runs in the Pallas kernel.
+    XLA; the KxK FIR runs in the Pallas kernel.  Shapes whose padded image
+    exceeds the per-program VMEM budget fall back to the XLA formulation.
     """
     b, h, w, c = x.shape
     pad0, pad1 = int(pad[0]), int(pad[1])
     if pad0 < 0 or pad1 < 0:
         raise NotImplementedError("negative upfirdn2d padding")
+
+    hp = h * up + pad0 + pad1
+    wp = w * up + pad0 + pad1
+    if not _fits_vmem(hp, wp, c):
+        from pnpflow_tpu.ops.upfirdn import upfirdn2d_xla
+
+        return upfirdn2d_xla(x, k, up=up, down=down, pad=pad)
 
     if up > 1:
         z = jnp.zeros((b, h * up, w * up, c), x.dtype)

@@ -62,6 +62,12 @@ def upfirdn2d(x, k: np.ndarray, up: int = 1, down: int = 1,
         from pnpflow_tpu.ops.pallas_kernels import upfirdn2d_pallas
 
         return upfirdn2d_pallas(x, np.asarray(k), up=up, down=down, pad=pad)
+    return upfirdn2d_xla(x, k, up=up, down=down, pad=pad)
+
+
+def upfirdn2d_xla(x, k: np.ndarray, up: int = 1, down: int = 1,
+                  pad=(0, 0)):
+    """The one-conv XLA formulation (always used for the fallback path)."""
     c = x.shape[-1]
     kh, kw = k.shape
     kernel = jnp.asarray(np.ascontiguousarray(k[::-1, ::-1]), x.dtype)
@@ -75,6 +81,11 @@ def upfirdn2d(x, k: np.ndarray, up: int = 1, down: int = 1,
     # native crops negative pads before the conv
     if lo < 0 or hi < 0:
         raise NotImplementedError("negative upfirdn2d padding")
+    # fp32 inputs get exact accumulation (TPU convs otherwise round
+    # passes through bf16; the reference CUDA op is exact fp32)
+    precision = (
+        lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    )
     return lax.conv_general_dilated(
         x,
         kernel,
@@ -83,6 +94,7 @@ def upfirdn2d(x, k: np.ndarray, up: int = 1, down: int = 1,
         lhs_dilation=(up, up),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=precision,
     )
 
 
