@@ -196,3 +196,48 @@ def test_diffpir_oracle_exact():
             np.sqrt(1 - zeta) * eps_hat + np.sqrt(zeta) * noise
         )
     assert np.allclose(got, x, atol=1e-3), np.abs(got - x).max()
+
+
+def test_ot_ode_oracle_superresolution_quirk():
+    """The reference recomputes rt^2 as (1-t)^2/((1-t)^2 + delta*i^2) on the
+    SR path (ot_ode.py:96-97) — our solver must replicate that literal
+    expression, not the standard rt^2."""
+    from pnpflow_tpu.ops.degradations import Superresolution
+    from pnpflow_tpu.solvers.ot_ode import make_ot_ode_solver
+
+    op = Superresolution(2, DIM)
+    rng = np.random.default_rng(3)
+    clean = rng.normal(size=(B, DIM, DIM, 3)).astype(np.float32)
+    y = np.asarray(op.H(jnp.asarray(clean)))
+    a = 0.15
+    bmap = rng.normal(size=(1, DIM, DIM, 3)).astype(np.float32) * 0.05
+    params = (a, jnp.asarray(bmap))
+
+    steps, sigma = 10, 0.05
+    solve = make_ot_ode_solver(
+        linear_model_apply, op, problem="superresolution", steps=steps,
+        gamma="constant", sigma_noise=sigma,
+    )
+    start_iter = 2
+    x0 = rng.normal(size=(B, DIM, DIM, 3)).astype(np.float32)
+    got = np.asarray(
+        solve(params, jnp.asarray(y), jnp.asarray(x0), None,
+              jnp.asarray(start_iter, jnp.int32), steps - start_iter)
+    )
+
+    delta = 1.0 / steps
+    x = x0.copy()
+    for i in range(start_iter, steps):
+        t = i * delta
+        vt = a * x + t * bmap
+        rt2 = (1 - t) ** 2 / ((1 - t) ** 2 + t**2)
+        x1_hat = x + (1 - t) * vt
+        d = y - x1_hat[:, ::2, ::2, :]
+        # the reference's literal SR expression (ot_ode.py:96-97)
+        rt2_ref = (1 - t) ** 2 / ((1 - t) ** 2 + delta * i**2)
+        sol = d / (rt2_ref + sigma**2)
+        vec = np.zeros_like(x)
+        vec[:, ::2, ::2, :] = sol
+        g = vec + (1 - t) * (a * vec)
+        x = x + delta * (vt + (1 - t) / t * 1.0 * g)
+    assert np.allclose(got, x, atol=1e-3), np.abs(got - x).max()
