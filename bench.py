@@ -41,6 +41,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", 64))
 STEPS = 100
 NUM_SAMPLES = 5
 NORM_BF16 = os.environ.get("BENCH_NORM_BF16", "1") == "1"
+UNROLL = int(os.environ.get("BENCH_UNROLL", 1))
 
 
 # One U-Net forward at batch 1, 64x64: 12.431 GFLOP (measured once via
@@ -67,7 +68,7 @@ def main():
         model.apply, op.H, op.H_adj,
         steps=STEPS, num_samples=NUM_SAMPLES, lr_pnp=1.0,
         gamma_style="alpha_1_minus_t", alpha=1.0,
-        noise_type="gaussian", sigma_noise=0.05,
+        noise_type="gaussian", sigma_noise=0.05, unroll=UNROLL,
     )
 
     rng = np.random.default_rng(0)

@@ -52,6 +52,7 @@ def make_pnp_flow_solver(
     alpha: float,
     noise_type: str,
     sigma_noise: float,
+    unroll: int = 1,
 ):
     """Build a jitted segment solver.
 
@@ -94,7 +95,7 @@ def make_pnp_flow_solver(
             k = jax.random.fold_in(key, start_iter + i)
             return denoise_mc(params, z, t, k), None
 
-        x, _ = jax.lax.scan(step, x, jnp.arange(n_iters))
+        x, _ = jax.lax.scan(step, x, jnp.arange(n_iters), unroll=unroll)
         return x
 
     return solve
