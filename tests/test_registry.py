@@ -85,3 +85,20 @@ def test_bundle_rectified_scales_t(tmp_path):
     b = ModelBundle(apply=apply, params=None, kind="rectified")
     b.forward(jnp.zeros((1, 4, 4, 1)), jnp.full((1,), 0.5))
     assert float(calls["t"][0]) == pytest.approx(499.5)
+
+
+def test_load_torch_checkpoint_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    from pnpflow_tpu.utils.torch_convert import load_torch_checkpoint
+
+    sd = {"a.weight": torch.ones(2, 3), "a.bias": torch.zeros(2)}
+    p = tmp_path / "ckpt.pt"
+    torch.save(sd, p)
+    out = load_torch_checkpoint(str(p))
+    assert set(out) == {"a.weight", "a.bias"}
+    assert out["a.weight"].shape == (2, 3)
+
+    # trainer-style dict with model_state_dict key
+    torch.save({"model_state_dict": sd, "optimizer_state_dict": {}}, p)
+    out = load_torch_checkpoint(str(p))
+    assert "a.bias" in out
