@@ -39,8 +39,14 @@ from pnpflow_tpu.ops.ot import ot_pair_indices
 from pnpflow_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
 
-def make_fm_loss(model_apply):
-    """Flow-matching loss on an already-coupled (x0, x1) pair batch."""
+def make_fm_loss(model_apply, remat: bool = False):
+    """Flow-matching loss on an already-coupled (x0, x1) pair batch.
+
+    ``remat=True`` wraps the model in ``jax.checkpoint`` — trade one extra
+    forward for not storing activations, buying batch-size headroom in HBM.
+    """
+    if remat:
+        model_apply = jax.checkpoint(model_apply)
 
     def loss_fn(params, x0, x1, t):
         xt = t[:, None, None, None] * x1 + (1.0 - t[:, None, None, None]) * x0
@@ -69,7 +75,7 @@ def _apply_updates(state, loss_and_grads, tx, ema_decay):
 
 def make_fm_train_step(model_apply, tx, *, coupling: str = "ot",
                        ema_decay: float = 0.999,
-                       ot_method: str = "sinkhorn"):
+                       ot_method: str = "sinkhorn", remat: bool = False):
     """Build the jitted train step ``(state, x1, key) -> (state, loss)``
     with the coupling computed INSIDE the jitted program (indep, on-device
     Sinkhorn, or exact via host callback on backends that support it).
@@ -77,7 +83,7 @@ def make_fm_train_step(model_apply, tx, *, coupling: str = "ot",
     ``state`` is a dict {params, opt_state, ema, step}.  The step is pure;
     shard x1 over the mesh data axis and XLA inserts the psum for grads.
     """
-    loss_fn = make_fm_loss(model_apply)
+    loss_fn = make_fm_loss(model_apply, remat=remat)
 
     def train_step(state, x1, key):
         k_noise, k_t, k_pair = jax.random.split(key, 3)
@@ -97,7 +103,8 @@ def make_fm_train_step(model_apply, tx, *, coupling: str = "ot",
 
 
 def make_fm_train_step_precoupled(model_apply, tx, *,
-                                  ema_decay: float = 0.999):
+                                  ema_decay: float = 0.999,
+                                  remat: bool = False):
     """Jitted train step ``(state, x0, x1, key) -> (state, loss)`` for
     ALREADY-COUPLED (x0, x1) pairs.
 
@@ -106,7 +113,7 @@ def make_fm_train_step_precoupled(model_apply, tx, *,
     pairing runs between steps on the host, the device program is pure
     compute.
     """
-    loss_fn = make_fm_loss(model_apply)
+    loss_fn = make_fm_loss(model_apply, remat=remat)
 
     def train_step(state, x0, x1, key):
         t = jax.random.uniform(key, (x1.shape[0],), x1.dtype)
@@ -192,14 +199,17 @@ class FlowMatchingTrainer:
         # 'sinkhorn' keeps the coupling fully on-device instead.
         self.ot_method = getattr(args, "ot_method", "exact") or "exact"
         self.precoupled = self.coupling == "ot" and self.ot_method == "exact"
+        remat = bool(getattr(args, "remat", False))
         if self.precoupled:
             self.train_step = make_fm_train_step_precoupled(
-                self.model.apply, self.tx, ema_decay=self.ema_decay
+                self.model.apply, self.tx, ema_decay=self.ema_decay,
+                remat=remat,
             )
         else:
             self.train_step = make_fm_train_step(
                 self.model.apply, self.tx, coupling=self.coupling,
                 ema_decay=self.ema_decay, ot_method=self.ot_method,
+                remat=remat,
             )
 
     # -- state ---------------------------------------------------------------
