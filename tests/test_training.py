@@ -244,3 +244,40 @@ def test_sharded_train_step_matches_single_device(tiny):
     a = jax.tree_util.tree_leaves(state_ref["params"])[0]
     b = jax.tree_util.tree_leaves(state_sh["params"])[0]
     assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_stochastic_euler_reduces_to_plain_euler(tiny):
+    """sigma_var = 0 must reproduce deterministic Euler over t in [eps, 1]
+    (vendored sampling.py:69-105)."""
+    from pnpflow_tpu.training.flow_matching import euler_sample_stochastic
+
+    m, params = tiny
+    key = jax.random.PRNGKey(9)
+    a = euler_sample_stochastic(
+        m.apply, params, key, (2, DIM, DIM, 1), steps=8, sigma_var=0.0
+    )
+    # manual euler over the same shifted grid with the same init noise
+    k0, _ = jax.random.split(key)
+    x = jax.random.normal(k0, (2, DIM, DIM, 1))
+    eps = 1e-3
+    dt = 1.0 / 8
+    for i in range(8):
+        num_t = i / 8 * (1 - eps) + eps
+        t = jnp.full((2,), num_t)
+        x = x + dt * m.apply(params, x, t)
+    assert np.allclose(np.asarray(a), np.asarray(x), atol=1e-5)
+
+
+def test_stochastic_euler_sigma_changes_samples(tiny):
+    from pnpflow_tpu.training.flow_matching import euler_sample_stochastic
+
+    m, params = tiny
+    key = jax.random.PRNGKey(9)
+    a = euler_sample_stochastic(
+        m.apply, params, key, (2, DIM, DIM, 1), steps=8, sigma_var=0.0
+    )
+    b = euler_sample_stochastic(
+        m.apply, params, key, (2, DIM, DIM, 1), steps=8, sigma_var=0.5
+    )
+    assert not np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    assert bool(jnp.isfinite(b).all())
