@@ -119,3 +119,30 @@ def test_missing_torch_key_raises():
     )["params"]
     with pytest.raises(KeyError):
         convert_ncsnpp_state_dict({}, params)
+
+
+def test_fir_upsample_downsample_modules():
+    """Standalone FIR Upsample/Downsample modules (layerspp.py:94-155):
+    shapes and constant-gain behavior, with and without fused conv."""
+    import jax
+    from pnpflow_tpu.models.ncsnpp import Downsample, Upsample
+
+    x = jnp.ones((1, 8, 8, 6))
+    up = Upsample(fir=True)
+    y = up.apply(up.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (1, 16, 16, 6)
+    assert np.allclose(np.asarray(y)[:, 4:-4, 4:-4, :], 1.0, atol=1e-5)
+
+    down = Downsample(fir=True)
+    y = down.apply(down.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (1, 4, 4, 6)
+
+    upc = Upsample(with_conv=True, fir=True, out_ch=4)
+    p = upc.init(jax.random.PRNGKey(1), x)
+    y = upc.apply(p, x)
+    assert y.shape == (1, 16, 16, 4)
+
+    downc = Downsample(with_conv=True, fir=True, out_ch=4)
+    p = downc.init(jax.random.PRNGKey(2), x)
+    y = downc.apply(p, x)
+    assert y.shape == (1, 4, 4, 4)
