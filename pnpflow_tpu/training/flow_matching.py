@@ -318,7 +318,12 @@ class FlowMatchingTrainer:
                     time.perf_counter() - t_ep,
                 )
             )
-            self.save_preemption(state)
+            # full-state resume point: every preempt_every epochs (the
+            # state dump is params+opt+ema — hundreds of MB; once per epoch
+            # dominates small-scale epochs)
+            preempt_every = int(getattr(args, "preempt_every", 10) or 10)
+            if (epoch + 1) % preempt_every == 0:
+                self.save_preemption(state)
             if epoch % self.save_every == 0:
                 self.save_state(state, epoch)
                 self._save_sample_plot(state, epoch)
