@@ -4,7 +4,8 @@
 // coupling with uniform marginals reduces to a linear assignment problem
 // (SURVEY.md §3.2 — the reference solves it with POT's ot.emd network
 // simplex on the host, train_flow_matching.py:85-93).  This implements the
-// Jonker-Volgenant shortest-augmenting-path algorithm (O(n^3)), exposed via
+// classic O(n^3) Hungarian algorithm with row/column potentials (the
+// shortest-augmenting-path formulation, e.g. Jonker-Volgenant), exposed via
 // a C ABI for ctypes binding (pnpflow_tpu/ops/ot.py).
 //
 // Build: make -C csrc   (produces liblap.so)
@@ -17,82 +18,66 @@ namespace {
 
 constexpr double kInf = std::numeric_limits<double>::infinity();
 
-// Shortest augmenting path for row `cur_row`; returns the sink column.
-// Maintains dual potentials u (rows, implicit) and v (cols).
-int augment(int n, const double* cost, int cur_row,
-            std::vector<int>& col_to_row, std::vector<double>& v,
-            std::vector<int>& pred) {
-  std::vector<double> min_to(n, kInf);
-  std::vector<char> scanned(n, 0);
-  int sink = -1;
-  int i = cur_row;
-  int j0 = -1;
-  double delta = 0.0;
-
-  while (sink == -1) {
-    double lo = kInf;
-    int j_lo = -1;
-    const double* row = cost + static_cast<int64_t>(i) * n;
-    for (int j = 0; j < n; ++j) {
-      if (scanned[j]) continue;
-      double red = row[j] - v[j] + delta -
-                   (j0 == -1 ? 0.0 : 0.0);  // reduced cost relative path
-      // path length to j through i
-      double len = delta + row[j] - v[j];
-      if (len < min_to[j]) {
-        min_to[j] = len;
-        pred[j] = i;
-      }
-      if (min_to[j] < lo) {
-        lo = min_to[j];
-        j_lo = j;
-      }
-      (void)red;
-    }
-    if (j_lo == -1) return -1;  // infeasible (shouldn't happen, dense)
-    scanned[j_lo] = 1;
-    delta = lo;
-    if (col_to_row[j_lo] == -1) {
-      sink = j_lo;
-    } else {
-      i = col_to_row[j_lo];
-    }
-  }
-
-  // price update
-  for (int j = 0; j < n; ++j) {
-    if (scanned[j]) v[j] += min_to[j] - delta;
-  }
-  return sink;
-}
-
 }  // namespace
 
 extern "C" {
 
 // cost: row-major n x n float64; out_col[i] = assigned column of row i.
-// Returns 0 on success.
+// Returns 0 on success.  Potentials-based Hungarian: for each row, grow a
+// shortest augmenting path over reduced costs, updating dual potentials so
+// every matched edge stays tight.  Optimality is certified by the duals.
 int lap_solve(int n, const double* cost, int32_t* out_col) {
-  std::vector<int> col_to_row(n, -1);
-  std::vector<int> row_to_col(n, -1);
-  std::vector<double> v(n, 0.0);
-  std::vector<int> pred(n, -1);
+  // 1-indexed working arrays; index 0 is the virtual start column.
+  std::vector<double> u(n + 1, 0.0), v(n + 1, 0.0);
+  std::vector<int> p(n + 1, 0);    // p[j] = row matched to column j
+  std::vector<int> way(n + 1, 0);  // predecessor column on the path
 
-  for (int r = 0; r < n; ++r) {
-    int sink = augment(n, cost, r, col_to_row, v, pred);
-    if (sink < 0) return 1;
-    // backtrack augmenting path
-    int j = sink;
-    while (true) {
-      int i = pred[j];
-      col_to_row[j] = i;
-      int j_prev = row_to_col[i];
-      row_to_col[i] = j;
-      if (i == r) break;
-      j = j_prev;
-    }
+  for (int i = 1; i <= n; ++i) {
+    p[0] = i;
+    int j0 = 0;
+    std::vector<double> minv(n + 1, kInf);
+    std::vector<char> used(n + 1, 0);
+    do {
+      used[j0] = 1;
+      int i0 = p[j0];
+      int j1 = 0;
+      double delta = kInf;
+      const double* row = cost + static_cast<int64_t>(i0 - 1) * n;
+      for (int j = 1; j <= n; ++j) {
+        if (used[j]) continue;
+        double cur = row[j - 1] - u[i0] - v[j];
+        if (cur < minv[j]) {
+          minv[j] = cur;
+          way[j] = j0;
+        }
+        if (minv[j] < delta) {
+          delta = minv[j];
+          j1 = j;
+        }
+      }
+      if (j1 == 0) return 1;  // infeasible (cannot happen for dense finite)
+      for (int j = 0; j <= n; ++j) {
+        if (used[j]) {
+          u[p[j]] += delta;
+          v[j] -= delta;
+        } else {
+          minv[j] -= delta;
+        }
+      }
+      j0 = j1;
+    } while (p[j0] != 0);
+    // augment along the path
+    do {
+      int j1 = way[j0];
+      p[j0] = p[j1];
+      j0 = j1;
+    } while (j0);
   }
-  for (int r = 0; r < n; ++r) out_col[r] = row_to_col[r];
+
+  for (int j = 1; j <= n; ++j) {
+    if (p[j] < 1 || p[j] > n) return 1;
+    out_col[p[j] - 1] = j - 1;
+  }
   return 0;
 }
 

@@ -5,6 +5,10 @@ trainer, run_lib_pytorch.py:85-88); the live pipeline decodes synchronously.
 Here a background thread keeps a bounded queue of ready batches so the
 accelerator never waits on PIL decode — the host/device pipeline analogue
 of grain/tf.data prefetch.
+
+The consumer may stop early (e.g. the trainer's ``max_iters_per_epoch``
+break): the generator's ``finally`` signals the producer thread to exit, so
+no thread or queued-batch memory leaks across epochs.
 """
 
 from __future__ import annotations
@@ -27,26 +31,48 @@ class PrefetchIterator:
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self._depth)
+        stop = threading.Event()
         err: list = []
+
+        def _put(item) -> bool:
+            """put() that gives up when the consumer has gone away."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in self._iterable:
-                    q.put(item)
+                    if not _put(item):
+                        return
             except BaseException as exc:  # propagate to the consumer
                 err.append(exc)
             finally:
-                q.put(self._SENTINEL)
+                _put(self._SENTINEL)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is self._SENTINEL:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is self._SENTINEL:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # consumer exited (normally or via break/exception): release the
+            # producer, which is possibly blocked on a full queue
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def prefetch(loader, depth: int = 2):

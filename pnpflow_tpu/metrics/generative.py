@@ -174,7 +174,8 @@ class ComputeMetric:
         key = jax.random.PRNGKey(int(getattr(args, "seed", 0) or 0))
         batch = 50
         dim, c = args.dim_image, args.num_channels
-        for i in range(n // batch):
+        # ceil-divide so any n >= 1 works; trim the overshoot below
+        for i in range((n + batch - 1) // batch):
             key, sub = jax.random.split(key)
             samples = euler_sample(
                 self.bundle.apply, self.bundle.params, sub,
@@ -183,13 +184,13 @@ class ComputeMetric:
             s01 = jnp.clip((samples + 1.0) / 2.0, 0.0, 1.0)
             gen_feats.append(feature_fn(s01))
             gen_sw.append(np.asarray(s01))
-        feat_gen = jnp.concatenate(gen_feats, axis=0)
+        feat_gen = jnp.concatenate(gen_feats, axis=0)[:n]
 
         fid = fid_from_features(feat_test, feat_gen)
         vendi = float(vendi_score(feat_gen[: min(2048, feat_gen.shape[0])]))
         sw = float(
             sliced_wasserstein(
-                jnp.asarray(np.concatenate(gen_sw, axis=0)),
+                jnp.asarray(np.concatenate(gen_sw, axis=0)[:n]),
                 test01,
                 key=jax.random.PRNGKey(0),
             )

@@ -113,11 +113,16 @@ def _error_ratio(err, x0, x1, rtol, atol):
 
 @partial(jax.jit, static_argnums=(0,), static_argnames=("max_steps",))
 def odeint_dopri5(f, x0, t0, t1, rtol: float = 1e-5, atol: float = 1e-5,
-                  max_steps: int = 1000):
+                  max_steps: int = 10000):
     """Adaptive DOPRI5 from t0 to t1 (either direction).
 
     Matches the reference's odeint(..., method implicit dopri5,
     rtol=atol=1e-5) inference behavior (train_flow_matching.py:131-150).
+
+    ``max_steps`` bounds attempted (incl. rejected) steps; a pathologically
+    stiff field that exhausts it yields the state integrated so far (a
+    while_loop cannot raise under jit) — the generous default makes that a
+    practical impossibility for flow models at these tolerances.
     """
     t0 = jnp.asarray(t0, jnp.float32)
     t1 = jnp.asarray(t1, jnp.float32)

@@ -63,9 +63,12 @@ def make_ot_ode_solver(
         def solve_C(d, rt2, i):
             return d / (rt2 + s2)
 
-    elif problem in ("superresolution", "superresolution_bicubic"):
-        # parity quirk: the reference recomputes rt^2 with
-        # (1-t)^2 / ((1-t)^2 + delta * iteration^2)  (ot_ode.py:96-97)
+    elif problem == "superresolution":
+        # plain decimation: diag(H H^T) = 1.  parity quirk: the reference
+        # recomputes rt^2 with (1-t)^2 / ((1-t)^2 + delta * iteration^2)
+        # (ot_ode.py:96-97).  The bicubic variant has dense H H^T and falls
+        # through to the generic GMRES branch below (the reference's
+        # else-branch, ot_ode.py:119-128).
         def solve_C(d, rt2, i):
             t = delta * i
             rt2_ref = (1.0 - t) ** 2 / ((1.0 - t) ** 2 + delta * i**2)

@@ -65,7 +65,9 @@ def make_prox(problem, degradation, sigma_noise, noise_type):
             (u, t), _ = jax.lax.scan(
                 body, (y, x), None, length=100
             )
-            return x - H_adj(u)
+            # the reference returns t computed from the PRE-update dual of
+            # the final iteration (pnp_diff.py:350-357), i.e. the carried t
+            return t
 
         return prox
 
@@ -92,9 +94,12 @@ def make_prox(problem, degradation, sigma_noise, noise_type):
                 jnp.fft.ifft2(jnp.fft.fft2(d, axes=(1, 2)) / inv, axes=(1, 2))
             )
 
-    elif problem in ("superresolution", "superresolution_bicubic"):
-        # diag(H^T H) = keep-pixel mask for decimation (the reference builds
-        # the explicit matrix diag, pnp_diff.py:107-109 — same diagonal)
+    elif problem == "superresolution":
+        # diag(H^T H) = keep-pixel mask for plain decimation (the reference
+        # builds the explicit matrix diag, pnp_diff.py:107-109 — same
+        # diagonal).  The bicubic variant has a non-diagonal H^T H and no
+        # closed form here (the reference has no fidelity branch for it
+        # either, pnp_diff.py:48-58).
         keep = degradation.keep_mask()
 
         def prox(x, y, gamma):

@@ -95,9 +95,12 @@ def make_pnp_gs_solver(
             sigma_ = jnp.where(i < 20, 0.2, sigma_noise)
             Dg, _ = denoise_Dg(params, x, sigma_)
             Dx = x - Dg
-            # prox H(y) - H(z) + z (pnp_gs.py:33-34), skipped on last iter
+            # prox H(y) - H(z) + z (pnp_gs.py:33-34).  On the final
+            # iteration the reference computes Dx but never assigns it
+            # (pnp_gs.py:153-156: the `if iteration < max_iter - 1` guard),
+            # so x stays at the PREVIOUS iterate.
             z = H(y) - H(Dx) + Dx
-            x_new = jnp.where(i < max_iter - 1, z, Dx)
+            x_new = jnp.where(i < max_iter - 1, z, x)
             return x_new, alpha_c
 
     elif algo == "hqs" and problem == "gaussian_deblurring_FFT":

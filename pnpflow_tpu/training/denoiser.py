@@ -126,11 +126,20 @@ class GradientStepTrainer:
         os.makedirs(self.model_dir, exist_ok=True)
         os.makedirs(self.results_dir, exist_ok=True)
 
-        # MultiStepLR [300, 600, 900, 1200] x 0.5 (train_denoiser.py:26-27)
-        schedule = optax.piecewise_constant_schedule(
-            self.lr, {300: 0.5, 600: 0.5, 900: 0.5, 1200: 0.5}
-        )
-        self.tx = optax.adam(schedule)
+        # Effective parity: the reference CREATES a MultiStepLR
+        # ([300, 600, 900, 1200] x 0.5, train_denoiser.py:26-27,87-89) but
+        # never calls scheduler.step() in its training loop, so it trains at
+        # constant lr.  Opt in to the (epoch-milestone) decay that scheduler
+        # intended with `--opts lr_milestone_steps N` = steps per epoch.
+        milestone = int(getattr(args, "lr_milestone_steps", 0) or 0)
+        if milestone > 0:
+            schedule = optax.piecewise_constant_schedule(
+                self.lr,
+                {m * milestone: 0.5 for m in (300, 600, 900, 1200)},
+            )
+            self.tx = optax.adam(schedule)
+        else:
+            self.tx = optax.adam(self.lr)
         self.mesh = make_mesh()
         self._build_train_step()
 

@@ -227,18 +227,20 @@ class FlowMatchingTrainer:
     def _state_path(self):
         return os.path.join(self.model_dir, "train_state.msgpack")
 
-    def save_preemption(self, state):
-        """Lightweight per-epoch resume point (the vendored trainer's
-        checkpoints-meta pattern, run_lib_pytorch.py:73-80)."""
+    def save_preemption(self, state, epochs_done: int = 0):
+        """Lightweight resume point (the vendored trainer's
+        checkpoints-meta pattern, run_lib_pytorch.py:73-80), atomically
+        replaced and tagged with the number of COMPLETED epochs."""
+        payload = dict(jax.device_get(state))
+        payload["epochs_done"] = np.int32(epochs_done)
         tmp = self._state_path() + ".tmp"
         with open(tmp, "wb") as f:
-            f.write(serialization.to_bytes(jax.device_get(state)))
+            f.write(serialization.to_bytes(payload))
         os.replace(tmp, self._state_path())
 
-    def save_state(self, state, epoch=None):
+    def save_state(self, state, epoch=None, epochs_done: int = 0):
+        self.save_preemption(state, epochs_done)
         state = jax.device_get(state)
-        with open(self._state_path(), "wb") as f:
-            f.write(serialization.to_bytes(state))
         name = (
             "model_final.msgpack" if epoch is None
             else "model_{}.msgpack".format(epoch)
@@ -249,11 +251,28 @@ class FlowMatchingTrainer:
             f.write(serialization.to_bytes(state["ema"]))
 
     def restore_state(self, state):
+        """-> (state, epochs_done, resumed).  Incompatible or legacy resume
+        files are ignored with a warning (fresh start)."""
+        import warnings
+
         path = self._state_path()
         if not os.path.exists(path):
-            return state, False
+            return state, 0, False
+        template = dict(state)
+        template["epochs_done"] = np.int32(0)
         with open(path, "rb") as f:
-            return serialization.from_bytes(state, f.read()), True
+            blob = f.read()
+        try:
+            restored = serialization.from_bytes(template, blob)
+        except Exception as exc:  # corrupt or structurally incompatible
+            warnings.warn(
+                "Ignoring incompatible resume state at {} ({})".format(
+                    path, exc
+                )
+            )
+            return state, 0, False
+        epochs_done = int(restored.pop("epochs_done"))
+        return restored, epochs_done, True
 
     # -- loop ----------------------------------------------------------------
     def train(self, data_loaders):
@@ -262,9 +281,21 @@ class FlowMatchingTrainer:
         args = self.args
         train_loader = prefetch(data_loaders["train"])
         state = self.init_state(int(getattr(args, "seed", 0) or 0))
-        state, resumed = self.restore_state(state)
+        state, start_epoch, resumed = self.restore_state(state)
         if resumed:
-            print("Resumed from step", int(state["step"]))
+            print(
+                "Resumed from step {} (epoch {})".format(
+                    int(state["step"]), start_epoch
+                )
+            )
+            if start_epoch >= self.num_epoch:
+                print(
+                    "Training already complete ({} epochs); delete {} to "
+                    "retrain from scratch.".format(
+                        start_epoch, self._state_path()
+                    )
+                )
+                return state
         state = replicate(state, self.mesh)
 
         loss_file = os.path.join(self.model_dir, "loss_training.txt")
@@ -276,9 +307,14 @@ class FlowMatchingTrainer:
         with open(info_file, "w") as f:
             f.write("num_params {}\n".format(n_params))
 
-        key = jax.random.PRNGKey(int(getattr(args, "seed", 0) or 0))
-        host_rng = np.random.default_rng(int(getattr(args, "seed", 0) or 0))
-        for epoch in range(self.num_epoch):
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(int(getattr(args, "seed", 0) or 0)),
+            start_epoch,
+        )
+        host_rng = np.random.default_rng(
+            int(getattr(args, "seed", 0) or 0) + start_epoch
+        )
+        for epoch in range(start_epoch, self.num_epoch):
             t_ep = time.perf_counter()
             losses = []
             for iteration, (x1, _) in enumerate(train_loader):
@@ -323,12 +359,12 @@ class FlowMatchingTrainer:
             # dominates small-scale epochs)
             preempt_every = int(getattr(args, "preempt_every", 10) or 10)
             if (epoch + 1) % preempt_every == 0:
-                self.save_preemption(state)
+                self.save_preemption(state, epochs_done=epoch + 1)
             if epoch % self.save_every == 0:
-                self.save_state(state, epoch)
+                self.save_state(state, epoch, epochs_done=epoch + 1)
                 self._save_sample_plot(state, epoch)
                 self._fid_checkpoint(state, epoch, data_loaders)
-        self.save_state(state)
+        self.save_state(state, epochs_done=self.num_epoch)
         return state
 
     def _fid_checkpoint(self, state, epoch, data_loaders, n: int = 5000):

@@ -107,3 +107,23 @@ def test_prefetch_iterator_matches_and_propagates_errors():
     d = prefetch({"train": data, "val": None})
     assert d["val"] is None
     assert len(list(d["train"])) == 5
+
+
+def test_prefetch_early_break_releases_producer():
+    """Breaking out of iteration must not leave the producer thread blocked
+    (code-review finding: per-epoch thread + queued-batch leak)."""
+    import threading
+    import time
+
+    from pnpflow_tpu.data.prefetch import PrefetchIterator
+
+    n_before = threading.active_count()
+    data = [(np.zeros((4, 4)), i) for i in range(100)]
+    for _ in range(20):  # 20 'epochs' with early break
+        for i, item in enumerate(PrefetchIterator(data, depth=2)):
+            if i == 2:
+                break
+    deadline = time.time() + 5.0
+    while threading.active_count() > n_before + 1 and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before + 1

@@ -168,3 +168,34 @@ def test_log_likelihood_linear_flow_closed_form():
     )
     assert np.allclose(np.asarray(logp), expected, atol=2e-2)
     assert np.allclose(np.asarray(z0), np.asarray(x1) * np.exp(-a), atol=1e-3)
+
+
+def test_native_lap_optimal_vs_scipy():
+    """The C++ Hungarian must return OPTIMAL assignments (not merely valid
+    permutations) — checked against scipy on random cost matrices."""
+    from pnpflow_tpu.ops.ot import _load_lap_lib
+
+    lib = _load_lap_lib()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native LAP library unavailable")
+    import ctypes
+
+    from scipy.optimize import linear_sum_assignment
+
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        n = int(rng.integers(2, 48))
+        cost = rng.uniform(size=(n, n)).astype(np.float64)
+        out = np.empty(n, np.int32)
+        rc = lib.lap_solve(
+            n, cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        assert rc == 0
+        assert len(set(out.tolist())) == n
+        r, c = linear_sum_assignment(cost)
+        assert np.isclose(
+            cost[np.arange(n), out].sum(), cost[r, c].sum(), atol=1e-9
+        )

@@ -115,11 +115,25 @@ def test_trainer_roundtrip_save_resume(tmp_path, tiny):
     tr = FlowMatchingTrainer(args)
     state = tr.init_state()
     state["step"] = jnp.asarray(7, jnp.int32)
-    tr.save_state(state, epoch=0)
-    restored, ok = tr.restore_state(tr.init_state())
+    tr.save_state(state, epoch=0, epochs_done=3)
+    restored, epochs_done, ok = tr.restore_state(tr.init_state())
     assert ok
     assert int(restored["step"]) == 7
+    assert epochs_done == 3
     assert os.path.exists(os.path.join(tr.model_dir, "model_0.msgpack"))
+
+    # a corrupted/incompatible resume file is ignored, not fatal
+    with open(tr._state_path(), "wb") as f:
+        f.write(b"not-a-msgpack")
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        try:
+            _, epochs_done, ok = tr.restore_state(tr.init_state())
+        except Exception:
+            ok = False
+    assert not ok
 
 
 def test_euler_sample_shapes(tiny):
