@@ -42,19 +42,14 @@ class CfgNode(dict):
         self[name] = value
 
     def __str__(self):
-        def _indent(s_, num_spaces):
-            s = s_.split("\n")
-            if len(s) == 1:
-                return s_
-            first = s.pop(0)
-            s = [(num_spaces * " ") + line for line in s]
-            return first + "\n" + "\n".join(s)
-
-        parts = []
+        lines = []
         for k, v in sorted(self.items()):
-            sep = "\n" if isinstance(v, CfgNode) else " "
-            parts.append(_indent("{}:{}{}".format(k, sep, v), 2))
-        return "\n".join(parts)
+            if isinstance(v, CfgNode):
+                lines.append(f"{k}:")
+                lines.extend("  " + sub for sub in str(v).split("\n"))
+            else:
+                lines.append(f"{k}: {v}")
+        return "\n".join(lines)
 
     def __repr__(self):
         return "{}({})".format(type(self).__name__, super().__repr__())
@@ -82,10 +77,9 @@ def _coerce_cfg_value_type(replacement, original, full_key):
         if replacement_type == from_type and original_type == to_type:
             return to_type(replacement)
     raise ValueError(
-        "Type mismatch ({} vs. {}) with values ({} vs. {}) for config "
-        "key: {}".format(
-            original_type, replacement_type, original, replacement, full_key
-        )
+        f"config key {full_key!r}: cannot override value {original!r} of "
+        f"type {original_type.__name__} with {replacement!r} of type "
+        f"{replacement_type.__name__}"
     )
 
 
