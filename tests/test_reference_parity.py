@@ -1,0 +1,560 @@
+"""Reference-in-the-loop parity tests.
+
+Every other parity test in this suite checks our code against hand-written
+oracles; these check it against the ACTUAL reference implementation mounted
+at /root/reference (imported read-only, executed on CPU torch).  Covered:
+
+  (a) velocity U-Net: reference ``UNet`` (pnpflow/models.py:302-495) state
+      dict -> ``convert_unet_state_dict`` -> Flax forward == torch forward;
+  (b) upfirdn2d + the four StyleGAN2 resampling wrappers vs the reference's
+      pure-torch ``upfirdn2d_native`` (op/upfirdn2d.py:159-200) and
+      ``up_or_down_sampling.py``;
+  (c) NCSN++: vendored torch ``NCSNpp`` (image_generation/models/ncsnpp.py)
+      state dict -> ``convert_ncsnpp_state_dict`` -> Flax forward parity;
+  (d) all six degradation operators vs ``pnpflow/degradations.py``;
+  (e) config load/merge vs ``pnpflow/utils.py:37-167`` on the shipped YAMLs.
+
+The reference modules pull in GPU/metric deps that are absent here
+(torchmetrics, ignite, deepinv, lpips) and JIT-compile CUDA extensions at
+import (op/upfirdn2d.py:10-16); we stub the missing modules and patch
+``torch.utils.cpp_extension.load`` so the import lands on the reference's own
+CPU fallbacks.  Skips cleanly when /root/reference is not mounted.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+REF_ROOT = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF_ROOT, "pnpflow")),
+    reason="reference repository not mounted at /root/reference",
+)
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _ensure_stub(fullname: str, attrs=()):
+    """Install an importable stub for ``fullname`` unless it really exists."""
+    try:
+        __import__(fullname)
+        return
+    except ImportError:
+        pass
+    parts = fullname.split(".")
+    for i in range(len(parts)):
+        name = ".".join(parts[: i + 1])
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+            if i:
+                setattr(sys.modules[".".join(parts[:i])], parts[i], mod)
+    leaf = sys.modules[fullname]
+    for attr in attrs:
+        if not hasattr(leaf, attr):
+            setattr(leaf, attr, type(attr, (), {}))
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference modules once, with missing heavy deps stubbed."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    _ensure_stub("torchmetrics.functional.image", ["peak_signal_noise_ratio"])
+    _ensure_stub("ignite.metrics", ["SSIM"])
+    _ensure_stub("deepinv", [])
+    _ensure_stub("lpips", ["LPIPS"])
+    # torchvision is only needed at runtime for transforms/InceptionV3
+    # weights, neither of which these parity tests touch.  models.py
+    # subclasses torchvision's Inception blocks at class-definition time
+    # (models.py:699-788), so the stub must provide Module-derived bases.
+    _ensure_stub("torchvision.transforms", [])
+
+    class _StubInceptionBlock(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    _ensure_stub("torchvision.models.inception", [])
+    inception_stub = sys.modules["torchvision.models.inception"]
+    for cls in ("InceptionA", "InceptionC", "InceptionE"):
+        if not hasattr(inception_stub, cls):
+            setattr(inception_stub, cls, _StubInceptionBlock)
+    tv = sys.modules["torchvision"]
+    if not hasattr(tv, "__version__"):
+        tv.__version__ = "0.0"
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+
+    import torch.utils.cpp_extension as cppext
+
+    orig_load = cppext.load
+    cppext.load = lambda *a, **k: None  # skip the CUDA JIT build
+    try:
+        import pnpflow.utils as ref_utils
+        import pnpflow.degradations as ref_degradations
+        import pnpflow.models as ref_models
+        import pnpflow.image_generation.op.upfirdn2d as ref_upfirdn
+        import pnpflow.image_generation.models.up_or_down_sampling as ref_updown
+        import pnpflow.image_generation.models.ncsnpp as ref_ncsnpp
+        from pnpflow.image_generation.configs.rectified_flow import (
+            celeba_hq_pytorch_rf_gaussian as ref_cfg,
+        )
+    finally:
+        cppext.load = orig_load
+
+    return SimpleNamespace(
+        utils=ref_utils,
+        degradations=ref_degradations,
+        models=ref_models,
+        upfirdn=ref_upfirdn,
+        updown=ref_updown,
+        ncsnpp=ref_ncsnpp,
+        cfg=ref_cfg,
+    )
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x, dtype=np.float32))
+
+
+def _nchw(x_nhwc):
+    return _t(np.transpose(np.asarray(x_nhwc), (0, 3, 1, 2)))
+
+
+def _to_nhwc(x_torch):
+    return np.transpose(x_torch.detach().numpy(), (0, 2, 3, 1))
+
+
+def _perturb_state_dict(sd, seed=0, scale=0.05):
+    """Fill the zero-init tensors (init_scale=0 final convs) with noise so a
+    forward-parity test is not vacuously 0 == 0."""
+    g = torch.Generator().manual_seed(seed)
+    return {
+        k: v + scale * torch.randn(v.shape, generator=g, dtype=v.dtype)
+        for k, v in sd.items()
+    }
+
+
+# ---------------------------------------------------------------------------
+# (e) config system
+
+
+def test_config_loader_matches_reference_on_shipped_yamls(ref):
+    from pnpflow_tpu.utils.config import load_cfg_from_cfg_file
+
+    yamls = []
+    for root, _, files in os.walk(os.path.join(REF_ROOT, "config")):
+        yamls += [os.path.join(root, f) for f in files if f.endswith(".yaml")]
+    assert yamls, "no reference config files found"
+    for path in sorted(yamls):
+        ours = load_cfg_from_cfg_file(path)
+        theirs = ref.utils.load_cfg_from_cfg_file(path)
+        assert dict(ours) == dict(theirs), path
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        ["batch_size_train", "8"],            # int over int
+        ["lr", "5e-3"],                        # float over float
+        ["dataset", "afhq_cat"],               # plain string stays string
+        ["train", "False"],                    # literal bool
+        ["brand_new_key", "0.7"],              # unknown key added, coerced
+        ["brand_new_str", "hello"],            # unknown key stays string
+    ],
+)
+def test_merge_cfg_matches_reference(ref, opts):
+    from pnpflow_tpu.utils.config import (
+        load_cfg_from_cfg_file,
+        merge_cfg_from_list,
+    )
+
+    path = os.path.join(REF_ROOT, "config/main_config.yaml")
+    ours = merge_cfg_from_list(load_cfg_from_cfg_file(path), opts)
+    theirs = ref.utils.merge_cfg_from_list(
+        ref.utils.load_cfg_from_cfg_file(path), opts
+    )
+    assert dict(ours) == dict(theirs)
+    key = opts[0].split(".")[-1]
+    assert type(ours[key]) is type(theirs[key])
+
+
+def test_merge_cfg_type_mismatch_raises_like_reference(ref):
+    from pnpflow_tpu.utils.config import (
+        load_cfg_from_cfg_file,
+        merge_cfg_from_list,
+    )
+
+    path = os.path.join(REF_ROOT, "config/main_config.yaml")
+    # main_config train is a bool; overriding with a list must fail both ways
+    with pytest.raises(ValueError):
+        ref.utils.merge_cfg_from_list(
+            ref.utils.load_cfg_from_cfg_file(path), ["train", "[1, 2]"]
+        )
+    with pytest.raises(ValueError):
+        merge_cfg_from_list(load_cfg_from_cfg_file(path), ["train", "[1, 2]"])
+
+
+def test_merge_cfg_tuple_list_casts_match_reference(ref):
+    from pnpflow_tpu.utils.config import CfgNode, merge_cfg_from_list
+
+    base_ours = CfgNode({"shape": (1, 2), "items": [3, 4]})
+    base_theirs = ref.utils.CfgNode({"shape": (1, 2), "items": [3, 4]})
+    opts = ["shape", "[5, 6]", "items", "(7, 8)"]
+    ours = merge_cfg_from_list(base_ours, opts)
+    theirs = ref.utils.merge_cfg_from_list(base_theirs, opts)
+    assert ours["shape"] == theirs["shape"] == (5, 6)
+    assert ours["items"] == theirs["items"] == [7, 8]
+    assert type(ours["shape"]) is type(theirs["shape"])
+    assert type(ours["items"]) is type(theirs["items"])
+
+
+# ---------------------------------------------------------------------------
+# (b) upfirdn2d + StyleGAN2 resampling
+
+
+@pytest.mark.parametrize(
+    "up,down,pad,ksize",
+    [
+        (1, 1, (0, 0), 3),
+        (1, 1, (1, 1), 4),
+        (2, 1, (2, 1), 4),
+        (1, 2, (1, 1), 4),
+        (2, 2, (2, 2), 3),
+        (3, 1, (2, 2), 4),
+        (1, 3, (1, 2), 2),
+        (2, 1, (4, 1), 1),
+    ],
+)
+def test_upfirdn2d_matches_reference_native(ref, up, down, pad, ksize):
+    from pnpflow_tpu.ops.upfirdn import upfirdn2d_xla
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 12, 12, 3)).astype(np.float32)
+    k = rng.normal(size=(ksize, ksize)).astype(np.float32)
+
+    theirs = ref.upfirdn.upfirdn2d(_nchw(x), _t(k), up=up, down=down, pad=pad)
+    ours = upfirdn2d_xla(jnp.asarray(x), k, up=up, down=down, pad=pad)
+    np.testing.assert_allclose(
+        np.asarray(ours), _to_nhwc(theirs), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("factor", [2, 4])
+def test_fir_up_downsample_match_reference(ref, factor):
+    from pnpflow_tpu.ops.upfirdn import downsample_2d, upsample_2d
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+    k = [1.0, 3.0, 3.0, 1.0]
+
+    theirs_up = ref.updown.upsample_2d(_nchw(x), k=k, factor=factor)
+    ours_up = upsample_2d(jnp.asarray(x), k=k, factor=factor)
+    np.testing.assert_allclose(
+        np.asarray(ours_up), _to_nhwc(theirs_up), rtol=1e-5, atol=1e-5
+    )
+
+    theirs_dn = ref.updown.downsample_2d(_nchw(x), k=k, factor=factor)
+    ours_dn = downsample_2d(jnp.asarray(x), k=k, factor=factor)
+    np.testing.assert_allclose(
+        np.asarray(ours_dn), _to_nhwc(theirs_dn), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_conv_downsample_matches_reference(ref):
+    from pnpflow_tpu.ops.upfirdn import conv_downsample_2d
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 16, 16, 4)).astype(np.float32)
+    # torch weight layout (out, in, kh, kw); ours (kh, kw, in, out)
+    w = rng.normal(size=(5, 4, 3, 3)).astype(np.float32) * 0.2
+    w_hwio = np.transpose(w, (2, 3, 1, 0))
+    k = [1.0, 3.0, 3.0, 1.0]
+
+    theirs_dn = ref.updown.conv_downsample_2d(_nchw(x), _t(w), k=k, factor=2)
+    ours_dn = conv_downsample_2d(jnp.asarray(x), jnp.asarray(w_hwio), k=k, factor=2)
+    np.testing.assert_allclose(
+        np.asarray(ours_dn), _to_nhwc(theirs_dn), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_upsample_conv_matches_reference_semantics(ref):
+    """The reference's ``upsample_conv_2d`` (up_or_down_sampling.py:72-143)
+    crashes on every backend — ``w[..., ::-1, ::-1]`` is a negative-step
+    slice, unsupported by torch tensors — and is unused by the live NCSN++
+    config (BigGAN blocks call the non-fused ``upsample_2d``).  We verify our
+    fused op against its documented intent: conv_transpose2d(stride=factor)
+    followed by the reference's own FIR ``upfirdn2d``."""
+    from pnpflow_tpu.ops.upfirdn import setup_kernel, upsample_conv_2d
+
+    rng = np.random.default_rng(2)
+    factor = 2
+    x = rng.normal(size=(2, 16, 16, 4)).astype(np.float32)
+    w = rng.normal(size=(5, 4, 3, 3)).astype(np.float32) * 0.2
+    w_hwio = np.transpose(w, (2, 3, 1, 0))
+    k = [1.0, 3.0, 3.0, 1.0]
+    kk = setup_kernel(k) * (factor**2)
+    kh = 3
+    p = (kk.shape[0] - factor) - (kh - 1)
+
+    # spatially flipped (the reference flips before conv_transpose2d), then
+    # (out, in, kh, kw) -> conv_transpose weight layout (in, out, kh, kw)
+    w_t = torch.from_numpy(
+        np.transpose(np.flip(w, (2, 3)), (1, 0, 2, 3)).copy()
+    )
+    y = torch.nn.functional.conv_transpose2d(
+        _nchw(x), w_t, stride=factor, padding=0
+    )
+    theirs = ref.upfirdn.upfirdn2d(
+        y, _t(kk), pad=((p + 1) // 2 + factor - 1, p // 2 + 1)
+    )
+    ours = upsample_conv_2d(jnp.asarray(x), jnp.asarray(w_hwio), k=k, factor=factor)
+    np.testing.assert_allclose(
+        np.asarray(ours), _to_nhwc(theirs), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fused_leaky_relu_matches_reference_semantics(ref):
+    # the reference CPU fallback lives in op/fused_act.py; its semantics are
+    # leaky_relu(x + bias, 0.2) * sqrt(2) — checked against torch directly
+    from pnpflow_tpu.ops.upfirdn import fused_leaky_relu
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 5, 5, 6)).astype(np.float32)
+    b = rng.normal(size=(6,)).astype(np.float32)
+    expected = (
+        torch.nn.functional.leaky_relu(
+            _t(x) + _t(b).reshape(1, 1, 1, 6), 0.2
+        )
+        * np.sqrt(2.0)
+    ).numpy()
+    ours = fused_leaky_relu(jnp.asarray(x), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(ours), expected, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# (d) degradations
+
+
+def _assert_op_parity(ref_op, our_op, x_nhwc, rtol=1e-4, atol=1e-5):
+    x_t = _nchw(x_nhwc)
+    for name in ("H", "H_adj"):
+        theirs = getattr(ref_op, name)(x_t)
+        ours = getattr(our_op, name)(jnp.asarray(x_nhwc))
+        np.testing.assert_allclose(
+            np.asarray(ours), _to_nhwc(theirs), rtol=rtol, atol=atol,
+            err_msg=name,
+        )
+
+
+def test_denoising_matches_reference(ref):
+    from pnpflow_tpu.ops.degradations import Denoising
+
+    x = np.random.default_rng(0).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    _assert_op_parity(ref.degradations.Denoising(), Denoising(), x)
+
+
+def test_box_inpainting_matches_reference(ref):
+    from pnpflow_tpu.ops.degradations import BoxInpainting
+
+    x = np.random.default_rng(1).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    _assert_op_parity(
+        ref.degradations.BoxInpainting(10), BoxInpainting(10, 64), x
+    )
+
+
+def test_random_inpainting_matches_reference(ref):
+    from pnpflow_tpu.ops.degradations import RandomInpainting
+
+    x = np.random.default_rng(2).normal(size=(3, 64, 64, 3)).astype(np.float32)
+    _assert_op_parity(
+        ref.degradations.RandomInpainting(0.7),
+        RandomInpainting(0.7, 64, batch_size=3),
+        x,
+    )
+
+
+def test_paintbrush_inpainting_matches_reference(ref):
+    pytest.importorskip("cv2")
+    from pnpflow_tpu.ops.degradations import PaintbrushInpainting
+
+    x = np.random.default_rng(3).normal(size=(2, 64, 64, 3)).astype(np.float32)
+    _assert_op_parity(
+        ref.degradations.PaintbrushInpainting(),
+        PaintbrushInpainting(64, batch_size=2),
+        x,
+    )
+
+
+@pytest.mark.parametrize("dim,ks,sigma", [(64, 7, 1.0), (128, 61, 1.0)])
+def test_gaussian_deblurring_fft_matches_reference(ref, dim, ks, sigma):
+    from pnpflow_tpu.ops.degradations import GaussianDeblurring
+
+    x = np.random.default_rng(4).normal(size=(2, dim, dim, 3)).astype(np.float32)
+    _assert_op_parity(
+        ref.degradations.GaussianDeblurring(
+            sigma, ks, mode="fft", num_channels=3, dim_image=dim, device="cpu"
+        ),
+        GaussianDeblurring(sigma, ks, "fft", 3, dim),
+        x,
+    )
+
+
+def test_gaussian_deblurring_conv_matches_reference(ref):
+    from pnpflow_tpu.ops.degradations import GaussianDeblurring
+
+    x = np.random.default_rng(5).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    _assert_op_parity(
+        ref.degradations.GaussianDeblurring(
+            1.0, 5, mode="conv", num_channels=3, dim_image=32, device="cpu"
+        ),
+        GaussianDeblurring(1.0, 5, "conv", 3, 32),
+        x,
+    )
+
+
+@pytest.mark.parametrize("mode", [None, "bicubic"])
+def test_superresolution_matches_reference(ref, mode):
+    from pnpflow_tpu.ops.degradations import Superresolution
+
+    sf, dim = 2, 64
+    ref_op = ref.degradations.Superresolution(sf, dim, mode=mode, device="cpu")
+    our_op = Superresolution(sf, dim, mode=mode)
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(2, dim, dim, 3)).astype(np.float32)
+    theirs_H = ref_op.H(_nchw(x))
+    ours_H = our_op.H(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(ours_H), _to_nhwc(theirs_H), rtol=1e-4, atol=1e-5
+    )
+    y = rng.normal(size=(2, dim // sf, dim // sf, 3)).astype(np.float32)
+    theirs_adj = ref_op.H_adj(_nchw(y))
+    ours_adj = our_op.H_adj(jnp.asarray(y))
+    np.testing.assert_allclose(
+        np.asarray(ours_adj), _to_nhwc(theirs_adj), rtol=1e-4, atol=1e-5
+    )
+
+
+# ---------------------------------------------------------------------------
+# (a) velocity U-Net forward parity through the checkpoint converter
+
+
+def _unet_parity(ref, *, input_height, ch, ch_mult, num_res_blocks,
+                 attn_resolutions, tol):
+    from pnpflow_tpu.models.unet import VelocityUNet
+    from pnpflow_tpu.utils.torch_convert import convert_unet_state_dict
+
+    torch.manual_seed(0)
+    theirs = ref.models.UNet(
+        input_channels=3, input_height=input_height, ch=ch, ch_mult=ch_mult,
+        num_res_blocks=num_res_blocks, attn_resolutions=attn_resolutions,
+    )
+    theirs.load_state_dict(_perturb_state_dict(theirs.state_dict()))
+    theirs.eval()
+
+    ours = VelocityUNet(
+        input_channels=3, input_height=input_height, ch=ch, ch_mult=ch_mult,
+        num_res_blocks=num_res_blocks, attn_resolutions=attn_resolutions,
+    )
+    params = convert_unet_state_dict(
+        {k: v.numpy() for k, v in theirs.state_dict().items()}
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, input_height, input_height, 3)).astype(np.float32)
+    t = np.array([0.25, 0.75], dtype=np.float32)
+
+    with torch.no_grad():
+        out_theirs = theirs(_nchw(x), _t(t))
+    out_ours = ours.apply(params, jnp.asarray(x), jnp.asarray(t))
+    np.testing.assert_allclose(
+        np.asarray(out_ours), _to_nhwc(out_theirs), rtol=tol, atol=tol
+    )
+
+
+def test_unet_forward_matches_reference_small(ref):
+    _unet_parity(
+        ref, input_height=32, ch=32, ch_mult=(1, 2, 4),
+        num_res_blocks=2, attn_resolutions=(16, 8), tol=1e-4,
+    )
+
+
+@pytest.mark.slow
+def test_unet_forward_matches_reference_flagship(ref):
+    # the exact architecture every 'ot'/'indep'/'gradient_step' checkpoint
+    # uses (reference utils.py:170-180) at 64x64
+    _unet_parity(
+        ref, input_height=64, ch=32, ch_mult=(1, 2, 4, 8),
+        num_res_blocks=6, attn_resolutions=(16, 8), tol=3e-4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# (c) NCSN++ forward parity through the checkpoint converter
+
+
+def _ncsnpp_parity(ref, *, image_size, nf, ch_mult, num_res_blocks,
+                   attn_resolutions, tol):
+    from pnpflow_tpu.models.ncsnpp import NCSNpp
+    from pnpflow_tpu.utils.ncsnpp_convert import convert_ncsnpp_state_dict
+
+    config = ref.cfg.get_config()
+    config.data.image_size = image_size
+    config.model.nf = nf
+    config.model.ch_mult = ch_mult
+    config.model.num_res_blocks = num_res_blocks
+    config.model.attn_resolutions = attn_resolutions
+
+    torch.manual_seed(0)
+    theirs = ref.ncsnpp.NCSNpp(config)
+    theirs.load_state_dict(_perturb_state_dict(theirs.state_dict()))
+    theirs.eval()
+
+    ours = NCSNpp(
+        image_size=image_size, num_channels=3, nf=nf, ch_mult=ch_mult,
+        num_res_blocks=num_res_blocks, attn_resolutions=attn_resolutions,
+    )
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(2, image_size, image_size, 3)).astype(np.float32)
+    t999 = np.array([123.0, 801.0], dtype=np.float32)
+
+    template = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(t999)
+    )["params"]
+    params = convert_ncsnpp_state_dict(
+        {k: v.numpy() for k, v in theirs.state_dict().items()}, template
+    )
+
+    with torch.no_grad():
+        out_theirs = theirs(_nchw(x), _t(t999))
+    out_ours = ours.apply(params, jnp.asarray(x), jnp.asarray(t999))
+    np.testing.assert_allclose(
+        np.asarray(out_ours), _to_nhwc(out_theirs), rtol=tol, atol=tol
+    )
+
+
+def test_ncsnpp_forward_matches_reference_small(ref):
+    _ncsnpp_parity(
+        ref, image_size=32, nf=32, ch_mult=(1, 2),
+        num_res_blocks=1, attn_resolutions=(16,), tol=2e-4,
+    )
+
+
+@pytest.mark.slow
+def test_ncsnpp_forward_matches_reference_deep(ref):
+    # full 7-level live structure (celeba_hq config ch_mult) at reduced nf
+    _ncsnpp_parity(
+        ref, image_size=128, nf=32, ch_mult=(1, 1, 2, 2, 2, 2, 2),
+        num_res_blocks=2, attn_resolutions=(16,), tol=5e-4,
+    )
