@@ -83,6 +83,21 @@ class Solver:
         self.model = model
         self.args = args
 
+    def _ensure_physics_cache(self, degradation, sigma_noise):
+        """Invalidate the per-instance jit caches when the physics changes.
+
+        Solvers close their compiled programs over ``H``/``H_adj`` and
+        ``sigma_noise``; reusing one solver instance with a different
+        degradation or noise level must rebuild them, not silently reuse the
+        old physics.  The key holds a strong reference to the degradation so
+        object identity cannot alias after garbage collection.
+        """
+        key = (degradation, float(sigma_noise), self.args.noise_type)
+        if getattr(self, "_physics_key", None) != key:
+            self._solver_cache = None
+            self._init_cache = None
+            self._physics_key = key
+
     # -- subclass hook -----------------------------------------------------
     def solve_batch(self, clean_img, noisy_img, degradation, sigma_noise,
                     batch: int, report_cb=None):

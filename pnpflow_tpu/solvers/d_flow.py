@@ -106,6 +106,7 @@ class DFlow(Solver):
     def solve_batch(self, clean_img, noisy_img, degradation, sigma_noise,
                     batch, report_cb=None):
         args = self.args
+        self._ensure_physics_cache(degradation, sigma_noise)
         if getattr(self, "_solver_cache", None) is None:
             self._solver_cache = make_d_flow_solver(
                 self.model.apply,

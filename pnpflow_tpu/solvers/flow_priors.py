@@ -125,6 +125,7 @@ class FlowPriors(Solver):
     def solve_batch(self, clean_img, noisy_img, degradation, sigma_noise,
                     batch, report_cb=None):
         args = self.args
+        self._ensure_physics_cache(degradation, sigma_noise)
         if getattr(self, "_solver_cache", None) is None:
             self._solver_cache = make_flow_priors_solver(
                 self.model.apply,

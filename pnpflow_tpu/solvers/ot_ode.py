@@ -151,6 +151,7 @@ class OTOde(Solver):
         start_time = float(args.start_time)
         first_iter = int(steps * start_time)
         total = steps - first_iter
+        self._ensure_physics_cache(degradation, sigma_noise)
         if getattr(self, "_solver_cache", None) is None:
             self._solver_cache = self._build(degradation, sigma_noise)
         solve = self._solver_cache

@@ -196,6 +196,7 @@ class PnPDiff(Solver):
     def solve_batch(self, clean_img, noisy_img, degradation, sigma_noise,
                     batch, report_cb=None):
         args = self.args
+        self._ensure_physics_cache(degradation, sigma_noise)
         if getattr(self, "_solver_cache", None) is None:
             prox = make_prox(
                 args.problem, degradation, float(sigma_noise), args.noise_type

@@ -123,6 +123,7 @@ class PnPFlow(Solver):
                     batch, report_cb=None):
         args = self.args
         steps = int(args.steps_pnp)
+        self._ensure_physics_cache(degradation, sigma_noise)
         if getattr(self, "_solver_cache", None) is None:
             self._solver_cache = self._build(degradation, sigma_noise)
         solve = self._solver_cache

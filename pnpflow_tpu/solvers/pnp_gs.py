@@ -170,10 +170,18 @@ def make_pnp_gs_solver(
 class ProxPnP(Solver):
     """Reference-compatible wrapper (pnp_gs.py:11-264)."""
 
+    def solve_ip(self, test_loader, degradation, sigma_noise):
+        # the reference initializes alpha once per solve_ip (pnp_gs.py:104)
+        # and the deblurring backtracking mutates it across the batch loop —
+        # the shrunken alpha carries over to later batches
+        self._alpha_carry = float(self.args.alpha)
+        super().solve_ip(test_loader, degradation, sigma_noise)
+
     def solve_batch(self, clean_img, noisy_img, degradation, sigma_noise,
                     batch, report_cb=None):
         args = self.args
         max_iter = int(args.max_iter)
+        self._ensure_physics_cache(degradation, sigma_noise)
         if getattr(self, "_solver_cache", None) is None:
             self._solver_cache = make_pnp_gs_solver(
                 self.model.apply,
@@ -203,7 +211,9 @@ class ProxPnP(Solver):
             self._init_cache = jax.jit(init)
         x = self._init_cache(noisy_img)
 
-        alpha_c = jnp.asarray(float(args.alpha), jnp.float32)
+        alpha_c = jnp.asarray(
+            getattr(self, "_alpha_carry", float(args.alpha)), jnp.float32
+        )
 
         def run(x, alpha_c, start, n):
             return solve(
@@ -222,5 +232,6 @@ class ProxPnP(Solver):
             if done < max_iter:
                 x, alpha_c = run(x, alpha_c, done, max_iter - done)
         else:
-            x, _ = run(x, alpha_c, 0, max_iter)
+            x, alpha_c = run(x, alpha_c, 0, max_iter)
+        self._alpha_carry = float(alpha_c)
         return x, max_iter - 1

@@ -66,7 +66,9 @@ def _jitted_pair(metric_fn, args, H_adj):
     import jax
 
     sr = args.problem in ("superresolution", "superresolution_bicubic")
-    cache_key = (metric_fn.__name__, sr, id(H_adj))
+    # key on the H_adj callable itself (bound methods of one instance hash
+    # equal); holding the reference also prevents id() aliasing after GC
+    cache_key = (metric_fn.__name__, sr, H_adj)
     if cache_key not in _JIT_CACHE:
 
         @jax.jit

@@ -97,6 +97,7 @@ def test_laplace_noise_path(bundle):
     assert bool(jnp.isfinite(x).all())
 
 
+@pytest.mark.slow
 def test_full_solver_class_with_reporting(tmp_path, bundle):
     """PnPFlow.run_method writes the reference's txt layout."""
     args = CfgNode(
@@ -138,3 +139,43 @@ def test_full_solver_class_with_reporting(tmp_path, bundle):
     with open(os.path.join(args.save_path, "final_psnr.txt")) as f:
         header = f.readline().split()
     assert header == ["psnr_rec", "psnr_noisy", "steps_pnp", "lr_pnp"]
+
+
+@pytest.mark.slow
+def test_solver_cache_invalidated_on_physics_change(bundle):
+    """Reusing one solver instance with a different degradation or sigma must
+    rebuild the compiled program, not silently reuse the old physics
+    (library-use correctness; the CLI only ever calls it once)."""
+    args = CfgNode(
+        dict(
+            steps_pnp=4, lr_pnp=1.0, gamma_style="alpha_1_minus_t",
+            num_samples=2, alpha=1.0, noise_type="gaussian",
+            problem="inpainting", save_results=False,
+        )
+    )
+    rng = np.random.default_rng(0)
+    clean = jnp.asarray(
+        np.tanh(rng.normal(size=(2, DIM, DIM, 3)) * 0.3).astype(np.float32)
+    )
+
+    op_a = BoxInpainting(6, DIM)
+    op_b = GaussianDeblurring(1.0, 9, "fft", 3, DIM)
+
+    reused = PnPFlow(bundle, args)
+    fresh_a = PnPFlow(bundle, args)
+    fresh_b = PnPFlow(bundle, args)
+
+    def run(solver, op, sigma):
+        y = op.H(clean)  # noiseless measurement keeps this deterministic
+        x, _ = solver.solve_batch(clean, y, op, sigma, batch=0)
+        return np.asarray(x)
+
+    # same instance: physics A, then physics B, then A at a different sigma
+    out_a = run(reused, op_a, 0.05)
+    out_b = run(reused, op_b, 0.05)
+    out_a2 = run(reused, op_a, 0.2)
+
+    np.testing.assert_allclose(out_a, run(fresh_a, op_a, 0.05), rtol=1e-6)
+    np.testing.assert_allclose(out_b, run(fresh_b, op_b, 0.05), rtol=1e-6)
+    fresh_a2 = PnPFlow(bundle, args)
+    np.testing.assert_allclose(out_a2, run(fresh_a2, op_a, 0.2), rtol=1e-6)
