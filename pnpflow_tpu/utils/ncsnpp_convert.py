@@ -88,3 +88,83 @@ def convert_ncsnpp_state_dict(sd, flax_params):
     # We need torch->flax layout transforms, which are the same transposes
     # (transpose (2,3,1,0) maps OIHW->HWIO; (1,0) maps (O,I)->(I,O)).
     return {"params": walk(flax_params, ())}
+
+
+def main(argv=None):
+    """CLI: ``python -m pnpflow_tpu.utils.ncsnpp_convert IN.pth OUT.msgpack
+    --image-size 256``
+
+    Converts a published RectifiedFlow NCSN++ checkpoint — the
+    {optimizer, model, ema, step} dict of image_generation/utils.py:7-23 —
+    to native msgpack.  ``--ema`` converts the EMA shadow params instead of
+    the raw model weights.
+    """
+    import argparse
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from flax import serialization
+
+    from pnpflow_tpu.models.ncsnpp import NCSNpp
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("pth_path", help="RectifiedFlow torch checkpoint (.pth)")
+    p.add_argument("out", help="output msgpack path")
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--num-channels", type=int, default=3)
+    p.add_argument("--nf", type=int, default=128)
+    p.add_argument(
+        "--ch-mult", type=int, nargs="+", default=(1, 1, 2, 2, 2, 2, 2)
+    )
+    p.add_argument("--num-res-blocks", type=int, default=2)
+    p.add_argument("--attn-resolutions", type=int, nargs="+", default=(16,))
+    p.add_argument(
+        "--ema", action="store_true",
+        help="convert the EMA shadow parameters instead of the live weights",
+    )
+    ns = p.parse_args(argv)
+
+    state = torch.load(ns.pth_path, map_location="cpu", weights_only=False)
+    if isinstance(state, dict) and "model" in state:
+        sd = state["model"]
+        if ns.ema and "ema" in state:
+            # ema state: {'decay', 'num_updates', 'shadow_params'} where
+            # shadow_params lists requires_grad parameters in
+            # model.parameters() order (image_generation/models/ema.py:28-30)
+            # — i.e. the state-dict key order minus buffers ('sigmas',
+            # ncsnpp.py:42) and the frozen Fourier projection W
+            # (layerspp.py:36, requires_grad=False).
+            def in_shadow(key):
+                k = key.replace("module.", "", 1)
+                return k != "sigmas" and k != "all_modules.0.W"
+
+            names = [k for k in sd.keys() if in_shadow(k)]
+            shadow = state["ema"]["shadow_params"]
+            assert len(names) == len(shadow), (len(names), len(shadow))
+            sd = dict(sd)
+            sd.update(dict(zip(names, shadow)))
+    else:
+        sd = state
+
+    model = NCSNpp(
+        image_size=ns.image_size, num_channels=ns.num_channels, nf=ns.nf,
+        ch_mult=tuple(ns.ch_mult), num_res_blocks=ns.num_res_blocks,
+        attn_resolutions=tuple(ns.attn_resolutions),
+    )
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, ns.image_size, ns.image_size, ns.num_channels)),
+        jnp.full((1,), 500.0),
+    )["params"]
+    params = convert_ncsnpp_state_dict(sd, template)
+    os.makedirs(os.path.dirname(ns.out) or ".", exist_ok=True)
+    with open(ns.out, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    n = sum(v.size for v in jax.tree_util.tree_leaves(params))
+    print("wrote {} ({} parameters)".format(ns.out, n))
+
+
+if __name__ == "__main__":
+    main()

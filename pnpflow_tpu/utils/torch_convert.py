@@ -189,3 +189,43 @@ def load_torch_checkpoint(path: str):
     if isinstance(obj, dict) and "model_state_dict" in obj:
         obj = obj["model_state_dict"]
     return {k: v.numpy() for k, v in obj.items()}
+
+
+def main(argv=None):
+    """CLI: ``python -m pnpflow_tpu.utils.torch_convert IN.pt [OUT.msgpack]``
+
+    Converts a published reference U-Net checkpoint
+    (train_flow_matching.py:117-120,249) to the native msgpack format that
+    ``models.registry.load_params`` resolves first.
+    """
+    import argparse
+    import os
+
+    from flax import serialization
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("pt_path", help="reference torch .pt state dict")
+    p.add_argument(
+        "out", nargs="?", default=None,
+        help="output path (default: <pt_path dir>/model_final.msgpack)",
+    )
+    ns = p.parse_args(argv)
+    out = ns.out or os.path.join(
+        os.path.dirname(ns.pt_path) or ".", "model_final.msgpack"
+    )
+    params = convert_unet_state_dict(load_torch_checkpoint(ns.pt_path))
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out, "wb") as f:
+        f.write(serialization.to_bytes(params))
+    n = sum(v.size for v in jax_tree_leaves(params))
+    print("wrote {} ({} parameters)".format(out, n))
+
+
+def jax_tree_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
+if __name__ == "__main__":
+    main()
