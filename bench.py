@@ -42,6 +42,10 @@ STEPS = 100
 NUM_SAMPLES = 5
 NORM_BF16 = os.environ.get("BENCH_NORM_BF16", "1") == "1"
 UNROLL = int(os.environ.get("BENCH_UNROLL", 1))
+# 'rbg' uses the TPU's hardware RNG for the per-step MC noise instead of
+# software threefry (5*B*64*64*3 normals per scan step); the solver
+# inherits whichever impl the passed key carries.
+RNG_IMPL = os.environ.get("BENCH_RNG", "threefry2x32")
 
 
 # One U-Net forward at batch 1, 64x64: 12.431 GFLOP (measured once via
@@ -82,7 +86,7 @@ def main():
         return y, op.H_adj(jnp.ones_like(y))
 
     y, x_init = setup(clean, jax.random.PRNGKey(0))
-    key = jax.random.PRNGKey(1)
+    key = jax.random.key(1, impl=RNG_IMPL)
     start = jnp.asarray(0, dtype=jnp.int32)
 
     # warmup / compile — use the same static step count as the timed run so

@@ -217,14 +217,10 @@ def main(argv=None):
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "wb") as f:
         f.write(serialization.to_bytes(params))
-    n = sum(v.size for v in jax_tree_leaves(params))
-    print("wrote {} ({} parameters)".format(out, n))
-
-
-def jax_tree_leaves(tree):
     import jax
 
-    return jax.tree_util.tree_leaves(tree)
+    n = sum(v.size for v in jax.tree_util.tree_leaves(params))
+    print("wrote {} ({} parameters)".format(out, n))
 
 
 if __name__ == "__main__":

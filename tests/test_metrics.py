@@ -129,3 +129,74 @@ def test_ssim_matches_torch_ignite_style():
     ours = float(ssim(jnp.asarray(b), jnp.asarray(a)))
     ref = torch_ssim(b, a)
     assert abs(ours - ref) < 5e-3
+
+
+def test_lpips_converter_and_distance_match_torch_replica(tmp_path):
+    """Locks the lpips_convert key map (torchvision alexnet features.* +
+    lpips lin{i}.model.1.weight) and the native LPIPS math against an
+    executable torch replica of lpips.LPIPS(net='alex') — the exact
+    architecture the reference scores with (utils.py:677-724): scaling
+    layer, 5 relu feature taps (maxpool after taps 0 and 1), channel
+    normalization, squared diff, nonnegative 1x1 heads, spatial average."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from pnpflow_tpu.metrics.lpips import lpips_distance
+    from pnpflow_tpu.utils.lpips_convert import convert_from_state_dicts
+
+    g = torch.Generator().manual_seed(0)
+    layout = [  # (out_ch, in_ch, k, stride, pad) — torchvision alexnet
+        (64, 3, 11, 4, 2),
+        (192, 64, 5, 1, 2),
+        (384, 192, 3, 1, 1),
+        (256, 384, 3, 1, 1),
+        (256, 256, 3, 1, 1),
+    ]
+    feat_idx = [0, 3, 6, 8, 10]  # Sequential indices in alexnet.features
+    alexnet_sd, convs = {}, []
+    for (o, i, k, s, p), fi in zip(layout, feat_idx):
+        w = 0.1 * torch.randn((o, i, k, k), generator=g)
+        b = 0.1 * torch.randn((o,), generator=g)
+        alexnet_sd[f"features.{fi}.weight"] = w.numpy()
+        alexnet_sd[f"features.{fi}.bias"] = b.numpy()
+        convs.append((w, b, s, p))
+    lpips_sd, lins = {}, []
+    for i, (o, *_rest) in enumerate(layout):
+        lw = torch.rand((1, o, 1, 1), generator=g)  # nonneg heads
+        lpips_sd[f"lin{i}.model.1.weight"] = lw.numpy()
+        lins.append(lw)
+
+    out = tmp_path / "lpips_alex.npz"
+    convert_from_state_dicts(alexnet_sd, lpips_sd, str(out))
+    weights = dict(np.load(str(out)))
+
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def torch_lpips(x, y):
+        hx, hy = (x - shift) / scale, (y - shift) / scale
+        total = torch.zeros(x.shape[0])
+        for i, (w, b, s, p) in enumerate(convs):
+            hx = F.relu(F.conv2d(hx, w, b, stride=s, padding=p))
+            hy = F.relu(F.conv2d(hy, w, b, stride=s, padding=p))
+
+            def unit(t):
+                return t / (torch.sqrt((t**2).sum(1, keepdim=True)) + 1e-10)
+
+            diff = (unit(hx) - unit(hy)) ** 2
+            total = total + (diff * lins[i]).sum(1).mean((1, 2))
+            if i in (0, 1):
+                hx = F.max_pool2d(hx, 3, stride=2)
+                hy = F.max_pool2d(hy, 3, stride=2)
+        return total.mean()
+
+    rng = np.random.default_rng(5)
+    x = np.tanh(rng.normal(size=(2, 64, 64, 3)) * 0.5).astype(np.float32)
+    y = np.clip(x + 0.1 * rng.normal(size=x.shape), -1, 1).astype(np.float32)
+
+    expected = torch_lpips(
+        torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+        torch.from_numpy(np.transpose(y, (0, 3, 1, 2))),
+    )
+    got = lpips_distance(weights, jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(float(got), float(expected), rtol=1e-4, atol=1e-5)

@@ -179,3 +179,23 @@ def test_solver_cache_invalidated_on_physics_change(bundle):
     np.testing.assert_allclose(out_b, run(fresh_b, op_b, 0.05), rtol=1e-6)
     fresh_a2 = PnPFlow(bundle, args)
     np.testing.assert_allclose(out_a2, run(fresh_a2, op_a, 0.2), rtol=1e-6)
+
+
+def test_multihost_helpers_single_process():
+    """init_distributed is a safe no-op off-pod; slice/assembly helpers
+    reduce to the single-host behavior on one process."""
+    from pnpflow_tpu.parallel.mesh import (
+        init_distributed,
+        make_mesh,
+        process_batch_slice,
+        shard_batch_multihost,
+    )
+
+    assert init_distributed() is False  # single process
+    mesh = make_mesh(4)
+    start, size = process_batch_slice(8, mesh)
+    assert (start, size) == (0, 8)
+    local = np.arange(8 * 4 * 4 * 3, dtype=np.float32).reshape(8, 4, 4, 3)
+    arr = shard_batch_multihost(local, mesh, 8)
+    assert arr.shape == (8, 4, 4, 3)
+    np.testing.assert_allclose(np.asarray(arr), local)
