@@ -42,6 +42,12 @@ STEPS = 100
 NUM_SAMPLES = 5
 NORM_BF16 = os.environ.get("BENCH_NORM_BF16", "1") == "1"
 UNROLL = int(os.environ.get("BENCH_UNROLL", 1))
+# fused Pallas GroupNorm+swish: measured 4x SLOWER end to end (3.0 vs 11.95
+# img/s) despite GroupNorm stats being ~49% of unfused device time — XLA
+# lays the conv activations out batch-minor ({0,3,2,1}) at these shapes and
+# the custom call forces C-minor, inserting full-tensor transposes around
+# every norm.  Kept for measurement; off by default (BASELINE.md).
+FUSED_NORM = os.environ.get("BENCH_FUSED_NORM", "0") == "1"
 # 'rbg' uses the TPU's hardware RNG for the per-step MC noise instead of
 # software threefry (5*B*64*64*3 normals per scan step); the solver
 # inherits whichever impl the passed key carries.
@@ -63,6 +69,7 @@ def main():
         input_channels=3, input_height=DIM, ch=32, ch_mult=(1, 2, 4, 8),
         num_res_blocks=6, attn_resolutions=(16, 8), dtype=jnp.bfloat16,
         norm_dtype=jnp.bfloat16 if NORM_BF16 else None,
+        fused_norm=FUSED_NORM,
     )
     x0 = jnp.zeros((1, DIM, DIM, 3))
     params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,)))

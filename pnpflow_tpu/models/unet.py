@@ -82,6 +82,36 @@ def group_norm(name: str, dtype=None):
     return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=dtype, name=name)
 
 
+class FusedGroupNorm(nn.Module):
+    """GroupNorm(32, eps 1e-6) [+ swish] through the one-pass Pallas kernel
+    (ops/pallas_kernels.py:groupnorm_swish).
+
+    Parameter names/shapes are identical to ``nn.GroupNorm`` (scale, bias),
+    so checkpoints convert either way.  The profiled motivation: XLA's
+    unfused GroupNorm (stats pass + normalize pass over HBM) is ~49% of the
+    restoration loop's device time (BASELINE.md trace); the kernel reads
+    each activation once and writes once, with fp32 statistics.
+    """
+
+    use_swish: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from pnpflow_tpu.ops.pallas_kernels import groupnorm_swish
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return groupnorm_swish(x, scale, bias, 32, 1e-6, self.use_swish)
+
+
+def norm_swish(x, name: str, norm_dtype=None, fused: bool = False):
+    """swish(GroupNorm(x)) — fused Pallas path or the XLA reference pair."""
+    if fused:
+        return FusedGroupNorm(use_swish=True, name=name)(x)
+    return nn.swish(group_norm(name, norm_dtype)(x))
+
+
 class ResidualBlock(nn.Module):
     """norm-swish-conv + temb add + norm-swish-(dropout)-conv0 + shortcut
     (reference models.py:58-113)."""
@@ -90,11 +120,12 @@ class ResidualBlock(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype | None = None
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x, temb, deterministic: bool = True):
         in_ch = x.shape[-1]
-        h = nn.swish(group_norm("norm1", self.norm_dtype)(x))
+        h = norm_swish(x, "norm1", self.norm_dtype, self.fused_norm)
         h = nn.Conv(
             self.out_ch, (3, 3), padding=1, kernel_init=vs_init(),
             bias_init=nn.initializers.zeros, dtype=self.dtype, name="conv1",
@@ -103,7 +134,7 @@ class ResidualBlock(nn.Module):
             self.out_ch, kernel_init=vs_init(), bias_init=nn.initializers.zeros,
             dtype=self.dtype, name="temb_proj",
         )(nn.swish(temb))[:, None, None, :]
-        h = nn.swish(group_norm("norm2", self.norm_dtype)(h))
+        h = norm_swish(h, "norm2", self.norm_dtype, self.fused_norm)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(
@@ -126,11 +157,15 @@ class SelfAttention(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype | None = None
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x, temb=None):
         b, hh, ww, c = x.shape
-        h = group_norm("norm", self.norm_dtype)(x)
+        if self.fused_norm:
+            h = FusedGroupNorm(use_swish=False, name="norm")(x)
+        else:
+            h = group_norm("norm", self.norm_dtype)(x)
 
         def conv1x1(name, scale=1.0):
             return nn.Conv(
@@ -198,6 +233,7 @@ class VelocityUNet(nn.Module):
     resamp_with_conv: bool = True
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype | None = None
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x, t, deterministic: bool = True):
@@ -228,12 +264,13 @@ class VelocityUNet(nn.Module):
             for i_block in range(self.num_res_blocks):
                 h = ResidualBlock(
                     block_out, dropout=self.dropout, dtype=self.dtype,
-                    norm_dtype=self.norm_dtype,
+                    norm_dtype=self.norm_dtype, fused_norm=self.fused_norm,
                     name=f"down_{i_level}_block_{i_block}",
                 )(hs[-1], temb, deterministic)
                 if h.shape[1] in self.attn_resolutions:
                     h = SelfAttention(
                         dtype=self.dtype, norm_dtype=self.norm_dtype,
+                        fused_norm=self.fused_norm,
                         name=f"down_{i_level}_attn_{i_block}",
                     )(h)
                 hs.append(h)
@@ -249,12 +286,17 @@ class VelocityUNet(nn.Module):
         h = hs[-1]
         h = ResidualBlock(
             h.shape[-1], dropout=self.dropout, dtype=self.dtype,
-            norm_dtype=self.norm_dtype, name="mid_block_0",
+            norm_dtype=self.norm_dtype, fused_norm=self.fused_norm,
+            name="mid_block_0",
         )(h, temb, deterministic)
-        h = SelfAttention(dtype=self.dtype, norm_dtype=self.norm_dtype, name="mid_attn")(h)
+        h = SelfAttention(
+            dtype=self.dtype, norm_dtype=self.norm_dtype,
+            fused_norm=self.fused_norm, name="mid_attn",
+        )(h)
         h = ResidualBlock(
             h.shape[-1], dropout=self.dropout, dtype=self.dtype,
-            norm_dtype=self.norm_dtype, name="mid_block_1",
+            norm_dtype=self.norm_dtype, fused_norm=self.fused_norm,
+            name="mid_block_1",
         )(h, temb, deterministic)
 
         # Up path
@@ -263,12 +305,13 @@ class VelocityUNet(nn.Module):
             for i_block in range(self.num_res_blocks + 1):
                 h = ResidualBlock(
                     block_out, dropout=self.dropout, dtype=self.dtype,
-                    norm_dtype=self.norm_dtype,
+                    norm_dtype=self.norm_dtype, fused_norm=self.fused_norm,
                     name=f"up_{i_level}_block_{i_block}",
                 )(jnp.concatenate([h, hs.pop()], axis=-1), temb, deterministic)
                 if h.shape[1] in self.attn_resolutions:
                     h = SelfAttention(
                         dtype=self.dtype, norm_dtype=self.norm_dtype,
+                        fused_norm=self.fused_norm,
                         name=f"up_{i_level}_attn_{i_block}",
                     )(h)
             if i_level != 0:
@@ -276,7 +319,7 @@ class VelocityUNet(nn.Module):
         assert not hs
 
         # End
-        h = nn.swish(group_norm("end_norm", self.norm_dtype)(h))
+        h = norm_swish(h, "end_norm", self.norm_dtype, self.fused_norm)
         h = nn.Conv(
             out_ch, (3, 3), padding=1, kernel_init=vs_init(0.0),
             bias_init=nn.initializers.zeros, dtype=self.dtype, name="end_conv",

@@ -117,3 +117,167 @@ def upfirdn2d_pallas(x, k: np.ndarray, up: int = 1, down: int = 1,
     if down > 1:
         y = y[:, ::down, ::down, :]
     return y
+
+
+# ---------------------------------------------------------------------------
+# Fused GroupNorm (+ swish) — the profiled hot spot of the restoration loop.
+#
+# A TPU trace of the headline bench (BASELINE.md) shows the GroupNorm
+# statistics reductions (convert_reduce fusions) consuming ~49% of device
+# time: XLA materializes the conv output to HBM, re-reads it for the stats
+# pass, and re-reads it again for the normalize pass.  This kernel does
+# stats + normalize + swish in ONE VMEM pass per batch block: read once,
+# write once.  Group pooling of the per-channel moments is a tiny (C, C)
+# matmul with a static block-constant matrix, keeping every op lane-aligned
+# (C rides the lanes; no reshapes on the lane dim).
+#
+# Backward runs as plain XLA (custom_vjp below) so the fused forward is
+# usable inside jax.grad (GS-denoiser vjp, d_flow) without a hand-written
+# transpose kernel.
+
+
+def _gn_swish_kernel(x_ref, scale_ref, bias_ref, pool_ref, o_ref, *, eps,
+                     swish):
+    x = x_ref[...].astype(jnp.float32)  # (bblk, H, W, C)
+    s1 = jnp.sum(x, axis=(1, 2))        # (bblk, C)
+    s2 = jnp.sum(x * x, axis=(1, 2))
+    pool_m = pool_ref[...]              # (C, C) group-averaging matrix
+    mean = jax.lax.dot(s1, pool_m, precision=jax.lax.Precision.HIGHEST)
+    meansq = jax.lax.dot(s2, pool_m, precision=jax.lax.Precision.HIGHEST)
+    inv = jax.lax.rsqrt(meansq - mean * mean + eps)
+    y = (x - mean[:, None, None, :]) * inv[:, None, None, :]
+    y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(
+        jnp.float32
+    )
+    if swish:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _group_pool_matrix(c: int, num_groups: int, n_per_group: int):
+    cg = c // num_groups
+    m = np.zeros((c, c), dtype=np.float32)
+    for g in range(num_groups):
+        m[g * cg : (g + 1) * cg, g * cg : (g + 1) * cg] = 1.0 / n_per_group
+    return m
+
+
+def _pick_batch_block(b: int, image_bytes: int, budget: int = 1 << 20) -> int:
+    """Largest divisor of ``b`` whose input block stays under ``budget``.
+
+    The scoped-vmem stack holds the double-buffered bf16 in/out blocks plus
+    the fp32 intermediates (~6x the input block), against a 16M scoped
+    limit — 1M of input block keeps the total comfortably inside it.
+    """
+    bblk = 1
+    for cand in range(1, b + 1):
+        if b % cand == 0 and cand * image_bytes <= budget:
+            bblk = cand
+    return bblk
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_groups", "eps", "swish", "interpret")
+)
+def _gn_swish_fwd_pallas(x, scale, bias, num_groups, eps, swish, interpret):
+    b, h, w, c = x.shape
+    pool = jnp.asarray(
+        _group_pool_matrix(c, num_groups, h * w * (c // num_groups))
+    )
+    bblk = _pick_batch_block(b, h * w * c * (x.dtype.itemsize + 4))
+    kernel = functools.partial(_gn_swish_kernel, eps=eps, swish=swish)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bblk,),
+        in_specs=[
+            pl.BlockSpec(
+                (bblk, h, w, c), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bblk, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        interpret=interpret,
+    )(x, scale, bias, pool)
+
+
+def _gn_stats(x, num_groups, eps):
+    b, h, w, c = x.shape
+    cg = c // num_groups
+    xf = x.astype(jnp.float32).reshape(b, h * w, num_groups, cg)
+    mean = jnp.mean(xf, axis=(1, 3))                       # (b, G)
+    var = jnp.mean(xf * xf, axis=(1, 3)) - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    rep = lambda a: jnp.repeat(a, cg, axis=1)[:, None, None, :]
+    return rep(mean), rep(inv)
+
+
+def _gn_swish_reference(x, scale, bias, num_groups, eps, swish):
+    """Plain-XLA forward (CPU fallback + the custom-vjp recompute path)."""
+    mean, inv = _gn_stats(x, num_groups, eps)
+    y = (x.astype(jnp.float32) - mean) * inv
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if swish:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def groupnorm_swish(x, scale, bias, num_groups: int = 32, eps: float = 1e-6,
+                    swish: bool = True):
+    """Fused GroupNorm(num_groups, eps) [+ swish] on NHWC.
+
+    Pallas one-pass kernel on TPU; plain XLA elsewhere (and for shapes the
+    kernel does not support).  fp32 statistics regardless of input dtype.
+    """
+    b, h, w, c = x.shape
+    on_tpu = jax.default_backend() == "tpu"
+    supported = (
+        c % num_groups == 0
+        and h * w * c * (x.dtype.itemsize + 4) <= (4 << 20)
+    )
+    if on_tpu and supported:
+        return _gn_swish_fwd_pallas(
+            x, scale, bias, num_groups, eps, swish, False
+        )
+    return _gn_swish_reference(x, scale, bias, num_groups, eps, swish)
+
+
+def _gn_swish_vjp_fwd(x, scale, bias, num_groups, eps, swish):
+    return groupnorm_swish(x, scale, bias, num_groups, eps, swish), (
+        x, scale, bias,
+    )
+
+
+def _gn_swish_vjp_bwd(num_groups, eps, swish, res, dy):
+    x, scale, bias = res
+    mean, inv = _gn_stats(x, num_groups, eps)
+    xf = x.astype(jnp.float32)
+    xhat = (xf - mean) * inv
+    dy = dy.astype(jnp.float32)
+    if swish:
+        ypre = xhat * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        sig = jax.nn.sigmoid(ypre)
+        dy = dy * (sig * (1.0 + ypre * (1.0 - sig)))
+    dscale = jnp.sum(dy * xhat, axis=(0, 1, 2)).astype(scale.dtype)
+    dbias = jnp.sum(dy, axis=(0, 1, 2)).astype(bias.dtype)
+    dxhat = dy * scale.astype(jnp.float32)
+
+    b, h, w, c = x.shape
+    cg = c // num_groups
+
+    def gmean(a):  # mean over each group's (H, W, Cg) slab, broadcast back
+        ar = a.reshape(b, h * w, num_groups, cg)
+        m = jnp.mean(ar, axis=(1, 3))
+        return jnp.repeat(m, cg, axis=1)[:, None, None, :]
+
+    dx = inv * (dxhat - gmean(dxhat) - xhat * gmean(dxhat * xhat))
+    return dx.astype(x.dtype), dscale, dbias
+
+
+groupnorm_swish.defvjp(_gn_swish_vjp_fwd, _gn_swish_vjp_bwd)

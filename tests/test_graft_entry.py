@@ -5,10 +5,12 @@ import os
 import sys
 
 import jax
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import __graft_entry__ as g
 

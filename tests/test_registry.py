@@ -47,6 +47,7 @@ def test_msgpack_roundtrip(tmp_path):
     assert np.allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_mismatched_checkpoint_falls_back(tmp_path):
     """A checkpoint trained at a different dim_image must not crash eval —
     warn and fall back to random init (require=False)."""

@@ -90,6 +90,7 @@ def test_ot_ode_box_inpainting_mask_solve(model, clean):
     assert bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.slow
 def test_d_flow_reduces_measurement_loss(model, clean):
     from pnpflow_tpu.solvers.d_flow import (
         make_d_flow_solver,
@@ -116,6 +117,7 @@ def test_d_flow_reduces_measurement_loss(model, clean):
     assert fid(z_opt) < before
 
 
+@pytest.mark.slow
 def test_flow_priors_runs(model, clean):
     from pnpflow_tpu.solvers.flow_priors import make_flow_priors_solver
 
@@ -231,6 +233,7 @@ def test_pnp_gs_splits_mean():
 # pnp_diff (DiffPIR) with a tiny diffusion UNet
 
 
+@pytest.mark.slow
 def test_pnp_diff_diffpir(clean):
     from pnpflow_tpu.models.diffunet import DiffUNet
     from pnpflow_tpu.solvers.pnp_diff import make_diffpir_solver, make_prox

@@ -40,6 +40,7 @@ def _state(params, tx):
     }
 
 
+@pytest.mark.slow
 def test_fm_train_step_descends(tiny):
     m, params = tiny
     tx = optax.adam(1e-3)
@@ -56,6 +57,7 @@ def test_fm_train_step_descends(tiny):
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
+@pytest.mark.slow
 def test_fm_train_step_ot_couplings(tiny):
     m, params = tiny
     tx = optax.adam(1e-3)
@@ -95,6 +97,7 @@ def test_ema_tracks_params(tiny):
     assert not np.allclose(np.asarray(p), np.asarray(e))
 
 
+@pytest.mark.slow
 def test_trainer_roundtrip_save_resume(tmp_path, tiny):
     from pnpflow_tpu.training.flow_matching import FlowMatchingTrainer
     from pnpflow_tpu.utils.config import CfgNode
@@ -200,6 +203,7 @@ def test_jacobian_spectral_norm_linear():
     assert np.allclose(np.asarray(lam), expected, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_denoiser_train_step_descends(tmp_path):
     from pnpflow_tpu.training.denoiser import GradientStepTrainer
     from pnpflow_tpu.utils.config import CfgNode
