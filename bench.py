@@ -42,12 +42,13 @@ STEPS = 100
 NUM_SAMPLES = 5
 NORM_BF16 = os.environ.get("BENCH_NORM_BF16", "1") == "1"
 UNROLL = int(os.environ.get("BENCH_UNROLL", 1))
-# fused Pallas GroupNorm+swish: measured 4x SLOWER end to end (3.0 vs 11.95
-# img/s) despite GroupNorm stats being ~49% of unfused device time — XLA
-# lays the conv activations out batch-minor ({0,3,2,1}) at these shapes and
-# the custom call forces C-minor, inserting full-tensor transposes around
-# every norm.  Kept for measurement; off by default (BASELINE.md).
-FUSED_NORM = os.environ.get("BENCH_FUSED_NORM", "0") == "1"
+# fused Pallas GroupNorm+swish.  Both variants measured SLOWER end to end
+# than XLA's fusion (BASELINE.md): "cmin"/"1" C-minor kernel 3.0 img/s
+# (full-tensor transposes around every norm), "bm" batch-minor kernel 6.99
+# img/s (copies + lost fusion at the custom-call boundary).  "0" (default):
+# plain XLA, 11.95 img/s.
+_fused_env = os.environ.get("BENCH_FUSED_NORM", "0")
+FUSED_NORM = {"0": False, "1": True}.get(_fused_env, _fused_env)
 # 'rbg' uses the TPU's hardware RNG for the per-step MC noise instead of
 # software threefry (5*B*64*64*3 normals per scan step); the solver
 # inherits whichever impl the passed key carries.

@@ -399,3 +399,38 @@ def make_ncsnpp(args, dtype=jnp.float32) -> NCSNpp:
         num_channels=args.num_channels,
         dtype=dtype,
     )
+
+
+def make_ncsnpp_from_config(config, dtype=jnp.float32) -> NCSNpp:
+    """Build NCSN++ from a reference-shaped config tree (model.* keys of
+    the shipped RF configs, e.g. config/rf_configs.py).  Only the
+    'biggan' resblock type is implemented — every shipped RF config uses
+    it (configs/rectified_flow/*.py)."""
+    m, d = config.model, config.data
+    if getattr(m, "resblock_type", "biggan") != "biggan":
+        raise NotImplementedError(
+            "resblock_type={} (only 'biggan' is used by the shipped RF "
+            "configs)".format(m.resblock_type)
+        )
+    return NCSNpp(
+        image_size=d.image_size,
+        num_channels=d.num_channels,
+        nf=m.nf,
+        ch_mult=tuple(m.ch_mult),
+        num_res_blocks=m.num_res_blocks,
+        attn_resolutions=tuple(m.attn_resolutions),
+        dropout=m.dropout,
+        resamp_with_conv=m.resamp_with_conv,
+        conditional=m.conditional,
+        fir=m.fir,
+        fir_kernel=tuple(m.fir_kernel),
+        skip_rescale=m.skip_rescale,
+        progressive=m.progressive,
+        progressive_input=m.progressive_input,
+        progressive_combine=m.progressive_combine,
+        embedding_type=getattr(m, "embedding_type", "fourier"),
+        fourier_scale=m.fourier_scale,
+        init_scale=m.init_scale,
+        scale_by_sigma=m.scale_by_sigma,
+        dtype=dtype,
+    )

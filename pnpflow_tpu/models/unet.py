@@ -83,32 +83,46 @@ def group_norm(name: str, dtype=None):
 
 
 class FusedGroupNorm(nn.Module):
-    """GroupNorm(32, eps 1e-6) [+ swish] through the one-pass Pallas kernel
-    (ops/pallas_kernels.py:groupnorm_swish).
+    """GroupNorm(32, eps 1e-6) [+ swish] through a one-pass Pallas kernel
+    (ops/pallas_kernels.py).
 
     Parameter names/shapes are identical to ``nn.GroupNorm`` (scale, bias),
     so checkpoints convert either way.  The profiled motivation: XLA's
     unfused GroupNorm (stats pass + normalize pass over HBM) is ~49% of the
     restoration loop's device time (BASELINE.md trace); the kernel reads
     each activation once and writes once, with fp32 statistics.
+
+    ``impl``: "cmin" = the default-layout kernel (C on lanes); "bm" = the
+    batch-minor kernel (N on lanes), matching the layout XLA actually picks
+    for the conv activations at large batch, so no transposes materialize.
     """
 
     use_swish: bool = True
+    impl: str = "cmin"
 
     @nn.compact
     def __call__(self, x):
-        from pnpflow_tpu.ops.pallas_kernels import groupnorm_swish
+        from pnpflow_tpu.ops.pallas_kernels import (
+            groupnorm_swish,
+            groupnorm_swish_bm,
+        )
 
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        return groupnorm_swish(x, scale, bias, 32, 1e-6, self.use_swish)
+        fn = groupnorm_swish_bm if self.impl == "bm" else groupnorm_swish
+        return fn(x, scale, bias, 32, 1e-6, self.use_swish)
 
 
-def norm_swish(x, name: str, norm_dtype=None, fused: bool = False):
+def _fused_impl(fused) -> str:
+    return fused if isinstance(fused, str) else "cmin"
+
+
+def norm_swish(x, name: str, norm_dtype=None, fused=False):
     """swish(GroupNorm(x)) — fused Pallas path or the XLA reference pair."""
     if fused:
-        return FusedGroupNorm(use_swish=True, name=name)(x)
+        return FusedGroupNorm(use_swish=True, impl=_fused_impl(fused),
+                              name=name)(x)
     return nn.swish(group_norm(name, norm_dtype)(x))
 
 
@@ -120,7 +134,7 @@ class ResidualBlock(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype | None = None
-    fused_norm: bool = False
+    fused_norm: bool | str = False
 
     @nn.compact
     def __call__(self, x, temb, deterministic: bool = True):
@@ -157,13 +171,15 @@ class SelfAttention(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype | None = None
-    fused_norm: bool = False
+    fused_norm: bool | str = False
 
     @nn.compact
     def __call__(self, x, temb=None):
         b, hh, ww, c = x.shape
         if self.fused_norm:
-            h = FusedGroupNorm(use_swish=False, name="norm")(x)
+            h = FusedGroupNorm(use_swish=False,
+                               impl=_fused_impl(self.fused_norm),
+                               name="norm")(x)
         else:
             h = group_norm("norm", self.norm_dtype)(x)
 
@@ -233,7 +249,7 @@ class VelocityUNet(nn.Module):
     resamp_with_conv: bool = True
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype | None = None
-    fused_norm: bool = False
+    fused_norm: bool | str = False
 
     @nn.compact
     def __call__(self, x, t, deterministic: bool = True):

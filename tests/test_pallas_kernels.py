@@ -118,6 +118,55 @@ def test_groupnorm_swish_public_entry_and_vjp():
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("c,groups,swish", [
+    (32, 32, True), (64, 32, False), (48, 16, True),
+])
+def test_groupnorm_swish_bm_kernel_matches_flax(c, groups, swish):
+    """Batch-minor kernel (N on lanes): logically-transposed input/output."""
+    from pnpflow_tpu.ops.pallas_kernels import _gn_swish_bm_pallas
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(6, 8, 8, c)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.2 + 1.0)
+    bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+
+    b, h, w, _ = x.shape
+    xt = jnp.transpose(x, (1, 2, 3, 0)).reshape(h * w, c, b)
+    yt = _gn_swish_bm_pallas(xt, scale, bias, groups, 1e-6, swish, True)
+    got = jnp.transpose(yt.reshape(h, w, c, b), (3, 0, 1, 2))
+    want = _flax_gn_swish(x, scale, bias, groups, 1e-6, swish)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_groupnorm_swish_bm_public_entry_and_vjp():
+    """Off-TPU the public entry falls back to XLA; the vjp must match."""
+    from pnpflow_tpu.ops.pallas_kernels import groupnorm_swish_bm
+
+    rng = np.random.default_rng(4)
+    c = 64
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, c)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.2 + 1.0)
+    bias = jnp.asarray(rng.normal(size=(c,)).astype(np.float32) * 0.1)
+
+    got = groupnorm_swish_bm(x, scale, bias, 32, 1e-6, True)
+    want = _flax_gn_swish(x, scale, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_fused(args):
+        return jnp.sum(jnp.sin(groupnorm_swish_bm(*args, 32, 1e-6, True)))
+
+    def loss_ref(args):
+        return jnp.sum(jnp.sin(_flax_gn_swish(*args)))
+
+    g_fused = jax.grad(loss_fused)((x, scale, bias))
+    g_ref = jax.grad(loss_ref)((x, scale, bias))
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_unet_fused_norm_matches_reference_path():
     from pnpflow_tpu.models.unet import VelocityUNet
 
