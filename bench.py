@@ -42,11 +42,12 @@ STEPS = 100
 NUM_SAMPLES = 5
 NORM_BF16 = os.environ.get("BENCH_NORM_BF16", "1") == "1"
 UNROLL = int(os.environ.get("BENCH_UNROLL", 1))
-# fused Pallas GroupNorm+swish.  Both variants measured SLOWER end to end
-# than XLA's fusion (BASELINE.md): "cmin"/"1" C-minor kernel 3.0 img/s
-# (full-tensor transposes around every norm), "bm" batch-minor kernel 6.99
-# img/s (copies + lost fusion at the custom-call boundary).  "0" (default):
-# plain XLA, 11.95 img/s.
+# Alternative GroupNorm formulations.  All measured SLOWER end to end than
+# XLA's own fusion (BASELINE.md): "cmin"/"1" C-minor Pallas kernel 3.0
+# img/s (full-tensor transposes around every norm), "bm" batch-minor
+# Pallas kernel 6.99 img/s (copies + lost fusion at the custom-call
+# boundary), "dot" MXU-matmul statistics 10.79 img/s (x² materialization).
+# "0" (default): plain XLA, 11.95 img/s.
 _fused_env = os.environ.get("BENCH_FUSED_NORM", "0")
 FUSED_NORM = {"0": False, "1": True}.get(_fused_env, _fused_env)
 # 'rbg' uses the TPU's hardware RNG for the per-step MC noise instead of

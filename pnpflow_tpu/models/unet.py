@@ -118,8 +118,54 @@ def _fused_impl(fused) -> str:
     return fused if isinstance(fused, str) else "cmin"
 
 
+class DotStatsGroupNorm(nn.Module):
+    """GroupNorm(32, eps 1e-6) [+ swish] with MXU-matmul statistics.
+
+    XLA's GroupNorm reduction streams the batch-minor conv activations at
+    ~15% of HBM bandwidth (BASELINE.md trace).  Here the two moment sums
+    are contractions against a ones vector — dots the MXU can stream —
+    instead of reduce ops; everything stays inside one XLA program (no
+    custom-call boundary, unlike the Pallas attempts).  fp32 accumulation
+    via preferred_element_type.  Param names/shapes match nn.GroupNorm.
+    """
+
+    use_swish: bool = True
+    groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        b, hh, ww, c = x.shape
+        cg = c // self.groups
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        hw = hh * ww
+        xr = x.reshape(b, hw, c)
+        ones = jnp.ones((hw,), x.dtype)
+        s1 = jnp.einsum("nhc,h->nc", xr, ones,
+                        preferred_element_type=jnp.float32)
+        s2 = jnp.einsum("nhc,h->nc", xr * xr, ones,
+                        preferred_element_type=jnp.float32)
+        inv_n = 1.0 / (hw * cg)
+        gsum = lambda s: jnp.repeat(
+            jnp.sum(s.reshape(b, self.groups, cg), axis=2), cg, axis=1
+        )
+        mean = gsum(s1) * inv_n                       # (b, c)
+        meansq = gsum(s2) * inv_n
+        inv = jax.lax.rsqrt(meansq - mean * mean + self.eps)
+        y = (x.astype(jnp.float32) - mean[:, None, None, :]) \
+            * inv[:, None, None, :]
+        y = y * scale + bias
+        if self.use_swish:
+            y = y * jax.nn.sigmoid(y)
+        return y.astype(x.dtype)
+
+
 def norm_swish(x, name: str, norm_dtype=None, fused=False):
-    """swish(GroupNorm(x)) — fused Pallas path or the XLA reference pair."""
+    """swish(GroupNorm(x)) — XLA reference pair, Pallas kernels, or
+    MXU-dot statistics, per ``fused``."""
+    if fused == "dot":
+        return DotStatsGroupNorm(use_swish=True, name=name)(x)
     if fused:
         return FusedGroupNorm(use_swish=True, impl=_fused_impl(fused),
                               name=name)(x)
@@ -176,7 +222,9 @@ class SelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x, temb=None):
         b, hh, ww, c = x.shape
-        if self.fused_norm:
+        if self.fused_norm == "dot":
+            h = DotStatsGroupNorm(use_swish=False, name="norm")(x)
+        elif self.fused_norm:
             h = FusedGroupNorm(use_swish=False,
                                impl=_fused_impl(self.fused_norm),
                                name="norm")(x)

@@ -167,6 +167,29 @@ def test_groupnorm_swish_bm_public_entry_and_vjp():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_unet_dot_stats_norm_matches_reference_path():
+    """MXU-dot GN statistics (models/unet.py:DotStatsGroupNorm) are
+    numerically equivalent to the flax GroupNorm path."""
+    from pnpflow_tpu.models.unet import VelocityUNet
+
+    kw = dict(input_channels=3, input_height=32, ch=32, ch_mult=(1, 2),
+              num_res_blocks=1, attn_resolutions=(16,))
+    plain = VelocityUNet(**kw)
+    dot = VelocityUNet(fused_norm="dot", **kw)
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    )
+    t = jnp.asarray([0.2, 0.8], dtype=jnp.float32)
+    params = plain.init(jax.random.PRNGKey(0), x, t)
+    params_d = dot.init(jax.random.PRNGKey(0), x, t)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_d))
+    np.testing.assert_allclose(
+        np.asarray(dot.apply(params, x, t)),
+        np.asarray(plain.apply(params, x, t)), rtol=5e-5, atol=5e-5,
+    )
+
+
 def test_unet_fused_norm_matches_reference_path():
     from pnpflow_tpu.models.unet import VelocityUNet
 
