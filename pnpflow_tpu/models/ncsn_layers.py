@@ -18,6 +18,12 @@ TPU-first choices:
     residual add — NCSNv2's dilated branch is unrunnable as shipped
     (verified on torch).  padding=dilation is the upstream ermongroup
     behavior and keeps shapes.
+  * SECOND reference crash (also verified): ``ncsn_conv3x3(bias=False)``
+    dies at construction (`conv.bias.data` on None, layers.py:113-114), so
+    every CRP/RCU/RefineBlock — and hence all NCSNv2 models — cannot even
+    be built upstream.  Forward-math parity against the reference blocks
+    is still tested by patching only that constructor bug
+    (tests/test_zoo_reference_parity.py).
 """
 
 from __future__ import annotations
@@ -335,8 +341,12 @@ class MeanPoolConv(nn.Module):
 
 
 class UpsampleConv(nn.Module):
-    """Nearest 2x upsample (the reference's cat-4 + PixelShuffle is exactly
-    nearest, layers.py:384-394) then conv."""
+    """cat-4 + PixelShuffle(2) upsample then conv (layers.py:384-394).
+
+    NOT nearest upsampling for C > 1: PixelShuffle reads output channel c's
+    2x2 quadrant (i, j) from cat channel 4c+2i+j, and the cat of four
+    copies makes that x[(4c+2i+j) mod C] — a deterministic channel shuffle
+    (verified against the torch original).  Reproduced faithfully."""
 
     features: int
     kernel: int = 3
@@ -345,7 +355,15 @@ class UpsampleConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        quads = []
+        for i in range(2):
+            row = []
+            for j in range(2):
+                idx = (4 * np.arange(c) + 2 * i + j) % c
+                row.append(x[..., idx])
+            quads.append(jnp.stack(row, axis=3))     # (b, h, w, 2, c)
+        up = jnp.stack(quads, axis=2)                # (b, h, 2, w, 2, c)
+        up = up.reshape(b, 2 * h, 2 * w, c)
         return ncsn_conv(self.features, self.kernel, bias=self.biases,
                          name="conv")(up)
 
