@@ -74,6 +74,7 @@ def main():
             args.dataset, args.batch_size_train, args.batch_size_train,
             root=data_root, dim_image=args.dim_image,
             num_channels=args.num_channels,
+            backend=getattr(args, "data_backend", "thread"),
         ).load_data()
         if args.model in ("ot", "indep"):
             from pnpflow_tpu.training.flow_matching import FlowMatchingTrainer

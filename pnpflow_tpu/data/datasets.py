@@ -155,13 +155,31 @@ class DataLoaders:
     """Reference-compatible factory (dataloaders.py:17-118)."""
 
     def __init__(self, dataset_name, batch_size_train, batch_size_test,
-                 root="./data", dim_image=None, num_channels=None):
+                 root="./data", dim_image=None, num_channels=None,
+                 backend="thread", num_workers=4):
         self.dataset_name = dataset_name
         self.batch_size_train = batch_size_train
         self.batch_size_test = batch_size_test
         self.root = root
         self.dim_image = dim_image
         self.num_channels = num_channels
+        # "thread": _FileDataset + thread prefetch (default, zero deps at
+        # runtime); "grain": multiprocess grain pipeline
+        # (data/grain_loader.py) for production-scale training input.
+        self.backend = backend
+        self.num_workers = num_workers
+
+    def _file_loader(self, paths, bs, transform, shuffle=False,
+                     drop_last=False):
+        if self.backend == "grain":
+            from pnpflow_tpu.data.grain_loader import GrainFileLoader
+
+            return GrainFileLoader(
+                paths, bs, transform, shuffle=shuffle, drop_last=drop_last,
+                num_workers=self.num_workers,
+            )
+        return _FileDataset(paths, bs, transform, shuffle=shuffle,
+                            drop_last=drop_last)
 
     def load_data(self):
         name = self.dataset_name
@@ -184,7 +202,8 @@ class DataLoaders:
             def split(partition, bs, shuffle):
                 names = df[df["partition"] == partition]["image"].values
                 paths = [os.path.join(img_dir, n) for n in names]
-                return _FileDataset(paths, bs, transform, shuffle=shuffle)
+                return self._file_loader(paths, bs, transform,
+                                         shuffle=shuffle)
 
             return {
                 "train": split(0, self.batch_size_train, True),
@@ -204,7 +223,9 @@ class DataLoaders:
             return {
                 "train": None,
                 "val": None,
-                "test": _FileDataset(paths, self.batch_size_test, transform),
+                "test": self._file_loader(
+                    paths, self.batch_size_test, transform
+                ),
             }
 
         if name == "afhq_cat":
@@ -215,8 +236,9 @@ class DataLoaders:
             def split(sub, bs, shuffle, drop_last=False):
                 d = os.path.join(self.root, f"afhq_cat/{sub}/cat/")
                 paths = [os.path.join(d, f) for f in sorted(os.listdir(d))]
-                return _FileDataset(
-                    paths, bs, transform, shuffle=shuffle, drop_last=drop_last
+                return self._file_loader(
+                    paths, bs, transform, shuffle=shuffle,
+                    drop_last=drop_last
                 )
 
             return {

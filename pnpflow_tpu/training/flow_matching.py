@@ -192,6 +192,15 @@ class FlowMatchingTrainer:
             args.output_root, "model", args.dataset, args.model
         )
         os.makedirs(self.model_dir, exist_ok=True)
+        # "msgpack" (default): single-file atomic resume state.  "orbax":
+        # versioned async CheckpointManager (training/checkpoint.py).
+        self._orbax = None
+        if getattr(args, "ckpt_backend", "msgpack") == "orbax":
+            from pnpflow_tpu.training.checkpoint import OrbaxCheckpointer
+
+            self._orbax = OrbaxCheckpointer(
+                os.path.join(self.model_dir, "orbax")
+            )
         self.mesh = make_mesh()
         self.tx = optax.adam(self.lr)
         # exact OT pairing runs on the HOST between steps (C++ LAP solver)
@@ -231,6 +240,9 @@ class FlowMatchingTrainer:
         """Lightweight resume point (the vendored trainer's
         checkpoints-meta pattern, run_lib_pytorch.py:73-80), atomically
         replaced and tagged with the number of COMPLETED epochs."""
+        if self._orbax is not None:
+            self._orbax.save(state, epochs_done, force=True)
+            return
         payload = dict(jax.device_get(state))
         payload["epochs_done"] = np.int32(epochs_done)
         tmp = self._state_path() + ".tmp"
@@ -255,6 +267,8 @@ class FlowMatchingTrainer:
         files are ignored with a warning (fresh start)."""
         import warnings
 
+        if self._orbax is not None:
+            return self._orbax.restore_latest(state)
         path = self._state_path()
         if not os.path.exists(path):
             return state, 0, False

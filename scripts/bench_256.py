@@ -1,0 +1,87 @@
+"""256² rectified-path restoration throughput on the real TPU.
+
+Runs the pnp_flow solver with the live NCSN++ 256² architecture
+(celeba_hq config: nf=128, ch_mult (1,1,2,2,2,2,2), biggan/FIR/
+output_skip) in bf16 on Gaussian deblurring — the CelebA-HQ/AFHQ
+protocol — and reports images/sec/chip.  Random-init weights: throughput
+is architecture-, not weight-, dependent.
+
+Knobs: B256 batch (default 2), STEPS256 PnP steps (default 10, scaled to
+the full 100-step protocol in the report), MC256 num_samples (default 1 —
+the 256² HBM budget does not fit the 64² protocol's 5 MC samples times
+batch in one forward; the solver folds MC into the batch dim).
+
+Usage: python scripts/bench_256.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import pnpflow_tpu.utils.jax_setup  # noqa: F401
+
+B = int(os.environ.get("B256", 2))
+STEPS = int(os.environ.get("STEPS256", 10))
+MC = int(os.environ.get("MC256", 1))
+DIM = 256
+
+
+def main():
+    from pnpflow_tpu.models.ncsnpp import NCSNpp
+    from pnpflow_tpu.ops.degradations import GaussianDeblurring
+    from pnpflow_tpu.solvers.pnp_flow import make_pnp_flow_solver
+
+    model = NCSNpp(image_size=DIM, num_channels=3, dtype=jnp.bfloat16)
+    x0 = np.zeros((1, DIM, DIM, 3), np.float32)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(x0), jnp.full((1,), 500.0)
+        )
+
+    # the rectified backend scales t by 999 (models/registry.py:136-143)
+    def apply(p, x, t):
+        return model.apply(p, x, t * 999.0)
+
+    deg = GaussianDeblurring(sigma_blur=3.0, kernel_size=61, dim_image=DIM)
+    solve = make_pnp_flow_solver(
+        apply, deg.H, deg.H_adj,
+        steps=100, num_samples=MC, lr_pnp=1.0,
+        gamma_style="alpha_1_minus_t", alpha=1.0,
+        noise_type="gaussian", sigma_noise=0.05,
+    )
+
+    rng = np.random.default_rng(0)
+    clean = jnp.asarray(rng.normal(size=(B, DIM, DIM, 3)), jnp.float32)
+    y = deg.H(clean) + 0.05 * jnp.asarray(
+        rng.normal(size=(B, DIM, DIM, 3)), jnp.float32
+    )
+    x_init = deg.H_adj(jnp.ones_like(y))
+    key = jax.random.PRNGKey(0)
+
+    out = solve(params, y, x_init, key, jnp.int32(0), STEPS)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    out = solve(params, y, x_init, key, jnp.int32(0), STEPS)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    per_step = dt / STEPS
+    full_protocol = per_step * 100  # the shipped config runs 100 steps
+    print(json.dumps({
+        "probe": "pnp_flow_ncsnpp256_deblur_bf16",
+        "batch": B, "mc_samples": MC, "steps_timed": STEPS,
+        "sec_per_step": round(per_step, 4),
+        "images_per_sec_100step_protocol": round(B / full_protocol, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
