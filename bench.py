@@ -98,10 +98,25 @@ def main():
     key = jax.random.key(1, impl=RNG_IMPL)
     start = jnp.asarray(0, dtype=jnp.int32)
 
+    # Optional TPU-backend compiler options (libtpu-only flags are rejected
+    # by the client-side XLA_FLAGS parser, so they must ride the compile
+    # call), e.g. BENCH_COMPILER_OPTS="xla_tpu_scoped_vmem_limit_kib=65536".
+    copts = os.environ.get("BENCH_COMPILER_OPTS", "")
+    if copts:
+        opts = dict(kv.split("=", 1) for kv in copts.split(","))
+        compiled = solve.lower(
+            params, y, x_init, key, start, STEPS
+        ).compile(compiler_options=opts)
+        solve = lambda p, y, x, k, s, n_iters: compiled(p, y, x, k, s)
+
     # warmup / compile — use the same static step count as the timed run so
     # only ONE program is compiled (remote compiles are expensive).  Force a
     # device->host read: on a tunneled TPU, block_until_ready alone can
     # return before execution finishes.
+    # NOTE: keep this call POSITIONAL and identical in form to the timed
+    # calls below — binding the static arg by keyword here once created a
+    # second jit cache entry, so the timed loop retraced and measured 7.9
+    # instead of 11.96 img/s.
     out = solve(params, y, x_init, key, start, STEPS)
     float(jnp.mean(out))
 
