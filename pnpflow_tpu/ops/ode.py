@@ -112,9 +112,9 @@ def _error_ratio(err, x0, x1, rtol, atol):
 
 
 @partial(jax.jit, static_argnums=(0,), static_argnames=("max_steps",))
-def odeint_dopri5(f, x0, t0, t1, rtol: float = 1e-5, atol: float = 1e-5,
-                  max_steps: int = 10000):
-    """Adaptive DOPRI5 from t0 to t1 (either direction).
+def _odeint_dopri5_stats(f, x0, t0, t1, rtol: float = 1e-5,
+                         atol: float = 1e-5, max_steps: int = 10000):
+    """Adaptive DOPRI5 from t0 to t1 (either direction) -> (x, nfe).
 
     Matches the reference's odeint(..., method implicit dopri5,
     rtol=atol=1e-5) inference behavior (train_flow_matching.py:131-150).
@@ -156,8 +156,16 @@ def odeint_dopri5(f, x0, t0, t1, rtol: float = 1e-5, atol: float = 1e-5,
         return (x, t, dt_next, nsteps + 1)
 
     state = (x0, t0, dt0, jnp.asarray(0, jnp.int32))
-    x, t, *_ = jax.lax.while_loop(cond, body, state)
-    return x
+    x, t, _, nsteps = jax.lax.while_loop(cond, body, state)
+    # 7 field evals per attempted step (no FSAL) — the nfe the reference's
+    # rk45 sampler reports (sampling.py:147-150, scipy sol.nfev)
+    return x, 7 * nsteps
+
+
+def odeint_dopri5(f, x0, t0, t1, rtol: float = 1e-5, atol: float = 1e-5,
+                  max_steps: int = 10000):
+    return _odeint_dopri5_stats(f, x0, t0, t1, rtol=rtol, atol=atol,
+                                max_steps=max_steps)[0]
 
 
 def odeint(f, x0, t0, t1, method: str = "dopri5", steps: int = 100,
