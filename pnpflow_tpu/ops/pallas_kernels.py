@@ -21,6 +21,7 @@ neighbors (ops/upfirdn.py:fused_leaky_relu).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -342,8 +343,19 @@ def _gn_swish_bm_kernel(x_ref, scale_ref, bias_ref, pool_ref, o_ref,
         o_ref[...] = y.astype(o_ref.dtype)
 
 
-def _pick_hw_block(hw: int, row_bytes: int, budget: int = 1 << 20) -> int:
+# Input-block byte budget.  The scoped-VMEM stack is ~6x the input block
+# (double-buffered bf16 in/out + fp32 temporaries); the pallas_call below
+# raises its own vmem_limit_bytes accordingly.  Small blocks were the
+# measured kill: at the old 1 MiB budget a level-0 GN site ran a 256-step
+# grid whose per-step overhead swamped the streaming (BASELINE.md).
+_BM_BLOCK_BUDGET = int(
+    os.environ.get("PNPFLOW_TPU_GN_BLOCK_BUDGET", 6 << 20)
+)
+
+
+def _pick_hw_block(hw: int, row_bytes: int, budget: int | None = None) -> int:
     """Largest divisor of ``hw`` whose (hwblk, C, Npad) block fits budget."""
+    budget = _BM_BLOCK_BUDGET if budget is None else budget
     blk = 1
     for cand in range(1, hw + 1):
         if hw % cand == 0 and cand * row_bytes <= budget:
@@ -390,6 +402,12 @@ def _gn_swish_bm_pallas(xt, scale, bias, num_groups, eps, swish, interpret):
             pltpu.VMEM((c, n), jnp.float32),
             pltpu.VMEM((c, n), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the scoped stack is ~8x the input block (double-buffered
+            # bf16 in/out + fp32 temporaries); 100 MiB leaves headroom
+            # inside the v5e's 128 MiB VMEM at the 6 MiB block budget
+            vmem_limit_bytes=100 << 20,
+        ),
         interpret=interpret,
     )(xt, scale[:, None], bias[:, None], pool)
 
