@@ -52,33 +52,52 @@ def get_act(name: str) -> Callable:
     raise NotImplementedError("activation function does not exist!")
 
 
+class _NCSNConv(nn.Module):
+    """3x3/1x1 conv with the exact torch-default init, scaled by
+    ``init_scale`` (reference layers.py:44-51,108-115): both kernel AND
+    bias draw from U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — nn.Conv's
+    ``bias_init`` hook cannot see fan_in, hence the custom module (param
+    names/shapes identical to nn.Conv).  padding=dilation keeps 'same'
+    spatial dims under dilation (see module docstring)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    bias: bool = True
+    dilation: int = 1
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        scale = 1e-10 if self.init_scale == 0 else self.init_scale
+        fan_in = in_ch * self.kernel * self.kernel
+        bound = 1.0 / np.sqrt(fan_in)
+
+        def uinit(key, shape, dtype=jnp.float32):
+            return scale * jax.random.uniform(key, shape, dtype,
+                                              -bound, bound)
+
+        kern = self.param(
+            "kernel", uinit,
+            (self.kernel, self.kernel, in_ch, self.features),
+        )
+        pad = self.dilation if self.kernel == 3 else 0
+        out = jax.lax.conv_general_dilated(
+            x, kern, (self.stride, self.stride),
+            [(pad, pad), (pad, pad)],
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.bias:
+            out = out + self.param("bias", uinit, (self.features,))
+        return out
+
+
 def ncsn_conv(features, kernel=3, stride=1, bias=True, dilation=1,
               init_scale=1.0, name=None):
-    """3x3/1x1 conv, torch-default (kaiming-uniform) init scaled by
-    ``init_scale`` (reference layers.py:44-51,108-115).  padding=dilation
-    keeps 'same' spatial dims under dilation (see module docstring)."""
-    init_scale = 1e-10 if init_scale == 0 else init_scale
-
-    def kernel_init(key, shape, dtype=jnp.float32):
-        # torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(-b, b),
-        # b = 1/sqrt(fan_in)
-        fan_in = shape[0] * shape[1] * shape[2]
-        bound = 1.0 / np.sqrt(fan_in)
-        return init_scale * jax.random.uniform(
-            key, shape, dtype, -bound, bound
-        )
-
-    def bias_init(key, shape, dtype=jnp.float32):
-        fan_in = kernel * kernel  # matches torch bound via weight fan-in
-        del fan_in
-        return jnp.zeros(shape, dtype)
-
-    pad = dilation if kernel == 3 else 0
-    return nn.Conv(
-        features, (kernel, kernel), strides=(stride, stride),
-        padding=pad, use_bias=bias, kernel_dilation=(dilation, dilation),
-        kernel_init=kernel_init, bias_init=bias_init, name=name,
-    )
+    return _NCSNConv(features, kernel, stride, bias, dilation, init_scale,
+                     name=name)
 
 
 def max_pool_5x5(x):

@@ -29,10 +29,13 @@ from pnpflow_tpu.models.normalization import get_normalization
 
 
 def get_sigmas(sigma_max: float, sigma_min: float, num_scales: int):
-    """Geometric noise ladder (reference models/utils.py:52-62)."""
-    return np.exp(
-        np.linspace(np.log(sigma_max), np.log(sigma_min), num_scales)
-    ).astype(np.float32)
+    """Geometric noise ladder as float32 module constants (delegates to
+    the single implementation in models/zoo.py)."""
+    from pnpflow_tpu.models.zoo import geometric_sigmas
+
+    return geometric_sigmas(sigma_max, sigma_min, num_scales).astype(
+        np.float32
+    )
 
 
 class NCSNv2(nn.Module):

@@ -107,6 +107,15 @@ class _ClassEmbed(nn.Module):
             init = lambda k, s: 1.0 + 0.02 * jax.random.normal(k, s)
         elif self.init == "zeros":
             init = nn.initializers.zeros
+        elif self.init == "uniform_zeros":
+            # reference bias=True tables: scale half U[0,1], bias half 0
+            # (normalization.py:75-77,132-134)
+            def init(k, s):
+                half = s[1] // 2
+                table = jnp.zeros(s)
+                return table.at[:, :half].set(
+                    jax.random.uniform(k, (s[0], half))
+                )
         else:
             init = lambda k, s: jax.random.uniform(k, s)
         table = self.param("embed", init, (self.num_classes, self.width))
@@ -156,7 +165,7 @@ class ConditionalInstanceNorm2d(nn.Module):
         c = x.shape[-1]
         h = instance_norm(x)
         if self.bias:
-            gb = _ClassEmbed(self.num_classes, 2 * c, "uniform",
+            gb = _ClassEmbed(self.num_classes, 2 * c, "uniform_zeros",
                              name="embed")(y)
             gamma, beta = gb[:, :c], gb[:, c:]
             return (gamma[:, None, None, :] * h + beta[:, None, None, :])
@@ -189,7 +198,7 @@ class ConditionalNoneNorm2d(nn.Module):
     def __call__(self, x, y):
         c = x.shape[-1]
         if self.bias:
-            gb = _ClassEmbed(self.num_classes, 2 * c, "uniform",
+            gb = _ClassEmbed(self.num_classes, 2 * c, "uniform_zeros",
                              name="embed")(y)
             gamma, beta = gb[:, :c], gb[:, c:]
             return gamma[:, None, None, :] * x + beta[:, None, None, :]

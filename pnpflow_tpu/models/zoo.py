@@ -38,12 +38,20 @@ def get_model(name):
     return _MODELS[name]
 
 
-def get_sigmas(config):
-    """Geometric SMLD noise ladder (reference utils.py:52-62)."""
+def geometric_sigmas(sigma_max: float, sigma_min: float, num_scales: int):
+    """Geometric SMLD noise ladder (reference utils.py:52-62) — the single
+    implementation; config- and scalar-keyed helpers both delegate here."""
     return np.exp(np.linspace(
-        np.log(config.model.sigma_max), np.log(config.model.sigma_min),
-        config.model.num_scales,
+        np.log(sigma_max), np.log(sigma_min), num_scales
     ))
+
+
+def get_sigmas(config):
+    """Config-keyed ladder with the reference's float64 dtype."""
+    return geometric_sigmas(
+        config.model.sigma_max, config.model.sigma_min,
+        config.model.num_scales,
+    )
 
 
 def get_ddpm_params(config):
@@ -67,11 +75,17 @@ def get_ddpm_params(config):
     }
 
 
+_BUILTINS_REGISTERED = False
+
+
 def _ensure_populated():
     """Lazy registration — avoids import cycles and keeps `import zoo`
-    cheap."""
-    if _MODELS:
+    cheap.  Guarded by its own flag: user registrations via
+    ``register_model`` must not suppress the built-ins."""
+    global _BUILTINS_REGISTERED
+    if _BUILTINS_REGISTERED:
         return
+    _BUILTINS_REGISTERED = True
     from pnpflow_tpu.models import ddpm as _ddpm
     from pnpflow_tpu.models import ncsnv2 as _ncsnv2
     from pnpflow_tpu.models import ncsnpp as _ncsnpp

@@ -238,9 +238,12 @@ def groupnorm_swish(x, scale, bias, num_groups: int = 32, eps: float = 1e-6,
     """
     b, h, w, c = x.shape
     on_tpu = jax.default_backend() == "tpu"
+    # supported iff a batch block fits _pick_batch_block's budget (same
+    # constant): a larger threshold would take the Pallas path with a
+    # bblk=1 block that overflows the scoped-VMEM stack at runtime
     supported = (
         c % num_groups == 0
-        and h * w * c * (x.dtype.itemsize + 4) <= (4 << 20)
+        and h * w * c * (x.dtype.itemsize + 4) <= (1 << 20)
     )
     if on_tpu and supported:
         return _gn_swish_fwd_pallas(

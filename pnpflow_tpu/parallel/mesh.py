@@ -52,7 +52,10 @@ def init_distributed(coordinator_address: str | None = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    _DISTRIBUTED["initialized"] = True
+        # latch ONLY on a real initialize: a no-arg call on an
+        # unconfigured host must not block a later call that brings
+        # explicit coordinator args
+        _DISTRIBUTED["initialized"] = True
     return jax.process_count() > 1
 
 

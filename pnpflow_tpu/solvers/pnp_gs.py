@@ -183,6 +183,11 @@ class ProxPnP(Solver):
         max_iter = int(args.max_iter)
         self._ensure_physics_cache(degradation, sigma_noise)
         if getattr(self, "_solver_cache", None) is None:
+            # fresh physics -> fresh alpha: the backtracked value from a
+            # previous degradation/sigma must not seed the new solve
+            # (within one solve_ip the cache persists, so the reference's
+            # across-batch alpha carry is preserved)
+            self._alpha_carry = float(args.alpha)
             self._solver_cache = make_pnp_gs_solver(
                 self.model.apply,
                 degradation,

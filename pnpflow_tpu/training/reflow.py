@@ -125,9 +125,23 @@ def generate_reflow_pairs(model_apply, params, key, shape,
         tvec = jnp.full((shape[0],), t, z0.dtype)
         return model_apply(params, x, tvec)
 
-    method = "dopri5" if sampler == "rk45" else sampler
-    x1 = odeint(vfield, z0, eps, 1.0, method=method, steps=steps,
-                rtol=ode_tol, atol=ode_tol)
+    if sampler == "euler":
+        # the reference's euler_ode quirk (sde_lib.py:74-94): t grid
+        # eps + i/N*(T-eps) but dt = 1/N, so the total advance is 1.0,
+        # not (1-eps) — reproduced exactly (as the samplers in
+        # training/{flow_matching,sampling}.py already do)
+        dt = 1.0 / steps
+
+        def body(x, i):
+            t = i / steps * (1.0 - eps) + eps
+            return x + dt * vfield(x, t), None
+
+        x1, _ = jax.lax.scan(body, z0,
+                             jnp.arange(steps, dtype=jnp.float32))
+    else:
+        method = "dopri5" if sampler == "rk45" else sampler
+        x1 = odeint(vfield, z0, eps, 1.0, method=method, steps=steps,
+                    rtol=ode_tol, atol=ode_tol)
     return z0, jax.lax.stop_gradient(x1)
 
 

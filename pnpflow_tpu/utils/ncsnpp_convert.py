@@ -129,6 +129,10 @@ def main(argv=None):
     state = torch.load(ns.pth_path, map_location="cpu", weights_only=False)
     if isinstance(state, dict) and "model" in state:
         sd = state["model"]
+        if ns.ema and state.get("ema") is None:
+            raise SystemExit(
+                "--ema requested but the checkpoint's ema slot is empty"
+            )
         if ns.ema and "ema" in state:
             # ema state: {'decay', 'num_updates', 'shadow_params'} where
             # shadow_params lists requires_grad parameters in

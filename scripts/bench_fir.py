@@ -51,33 +51,11 @@ LOOP_ITERS = int(os.environ.get("FIR_LOOP_ITERS", 200))
 
 
 def timed_loop(fn, x, iters=None, reps=3):
-    """Per-call time with host-dispatch overhead amortized away.
+    """Dispatch-amortized per-call time (scripts/_bench_util.py)."""
+    from _bench_util import timed_loop as _tl
 
-    A single dispatch through the remote-TPU tunnel costs ~6 ms — more
-    than the kernels under test — so per-call timing measures the tunnel,
-    not the op.  Run ``iters`` sequential applications inside ONE jit via
-    lax.scan, chained through a scalar carry (a ~1e-30-scaled full sum:
-    negligible numerically, but a real data dependency so XLA cannot
-    dead-code or parallelize the iterations).  Both backends pay the same
-    extra full-tensor reduce, so comparisons stay valid.
-    """
-    iters = LOOP_ITERS if iters is None else iters
-
-    @jax.jit
-    def run(x):
-        def body(c, _):
-            y = fn(x + c.astype(x.dtype))
-            return c + jnp.sum(y.astype(jnp.float32)) * 1e-30, None
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return c
-
-    float(run(x))  # compile + warm
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(run(x))
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+    return _tl(fn, (x,), iters=LOOP_ITERS if iters is None else iters,
+               reps=reps)
 
 
 def main():

@@ -68,21 +68,11 @@ def make_chain(impl, c):
 
 
 def timed_loop(apply_fn, params, x, iters=ITERS, reps=3):
-    @jax.jit
-    def run(params, x):
-        def body(c, _):
-            y = apply_fn(params, x + c.astype(x.dtype))
-            return c + jnp.sum(y.astype(jnp.float32)) * 1e-30, None
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return c
+    """Dispatch-amortized per-call time (scripts/_bench_util.py)."""
+    from _bench_util import timed_loop as _tl
 
-    float(run(params, x))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(run(params, x))
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+    return _tl(apply_fn, (params, x), iters=iters, reps=reps,
+               perturb_idx=1)
 
 
 def main():

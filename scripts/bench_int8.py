@@ -48,21 +48,10 @@ def conv_int8(x, w_q, w_scale, x_scale):
 
 
 def timed_loop(fn, args, iters=ITERS, reps=3):
-    @jax.jit
-    def run(*args):
-        def body(c, _):
-            y = fn(args[0] + c.astype(args[0].dtype), *args[1:])
-            return c + jnp.sum(y.astype(jnp.float32)) * 1e-30, None
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return c
+    """Dispatch-amortized per-call time (scripts/_bench_util.py)."""
+    from _bench_util import timed_loop as _tl
 
-    float(run(*args))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(run(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best / iters
+    return _tl(fn, args, iters=iters, reps=reps)
 
 
 def main():

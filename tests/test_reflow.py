@@ -48,12 +48,14 @@ def _linear_model(a=0.5):
 
 
 def test_generate_pairs_euler_matches_closed_form():
+    """euler reproduces the reference euler_ode quirk (dt = 1/N over the
+    [eps, 1) grid -> total advance 1.0): x1 -> z0 * exp(a * 1.0)."""
     apply, params = _linear_model(0.5)
     z0, x1 = generate_reflow_pairs(
         apply, params, jax.random.PRNGKey(1), (4, 8, 8, 3),
         sampler="euler", steps=4000,
     )
-    want = np.asarray(z0) * np.exp(0.5 * (1.0 - EPS))
+    want = np.asarray(z0) * np.exp(0.5)
     np.testing.assert_allclose(np.asarray(x1), want, rtol=2e-4)
 
 
