@@ -29,31 +29,9 @@ def parse_args():
 
 
 def build_method(args, bundle):
-    from pnpflow_tpu.solvers.pnp_flow import PnPFlow
+    from pnpflow_tpu.solvers.factory import build_solver
 
-    if args.method == "pnp_flow":
-        return PnPFlow(bundle, args)
-    if args.method == "ot_ode":
-        from pnpflow_tpu.solvers.ot_ode import OTOde
-
-        return OTOde(bundle, args)
-    if args.method == "d_flow":
-        from pnpflow_tpu.solvers.d_flow import DFlow
-
-        return DFlow(bundle, args)
-    if args.method == "flow_priors":
-        from pnpflow_tpu.solvers.flow_priors import FlowPriors
-
-        return FlowPriors(bundle, args)
-    if args.method == "pnp_gs":
-        from pnpflow_tpu.solvers.pnp_gs import ProxPnP
-
-        return ProxPnP(bundle, args)
-    if args.method == "pnp_diff":
-        from pnpflow_tpu.solvers.pnp_diff import PnPDiff
-
-        return PnPDiff(bundle, args)
-    raise ValueError("The method you entered does not exist")
+    return build_solver(bundle, args)
 
 
 def main():
