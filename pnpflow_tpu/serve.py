@@ -59,7 +59,8 @@ class Restorer:
                  num_channels: int = 3, noise_type: str = "gaussian",
                  sigma_noise: float | None = None, batch_size: int = 4,
                  params=None, overrides: dict | None = None,
-                 require_ckpt: bool = False, dtype=jnp.float32):
+                 require_ckpt: bool = False, dtype=jnp.float32,
+                 shard: bool = False, n_devices: int | None = None):
         from pnpflow_tpu.models.registry import build_model_bundle
         from pnpflow_tpu.ops.degradations import make_degradation
         from pnpflow_tpu.solvers.factory import build_solver
@@ -88,6 +89,21 @@ class Restorer:
         )
         self.solver = build_solver(self.bundle, args)
 
+        # multi-chip serving: shard incoming batches over the mesh 'data'
+        # axis and replicate params — jit partitions the solver's scan
+        # accordingly (batch must divide the device count)
+        self.mesh = None
+        if shard:
+            from pnpflow_tpu.parallel.mesh import (
+                make_mesh,
+                replicate,
+                shard_batch,
+            )
+
+            self.mesh = make_mesh(n_devices)
+            self._shard_batch = shard_batch
+            self.bundle.params = replicate(self.bundle.params, self.mesh)
+
     # -- forward model -----------------------------------------------------
     def degrade(self, clean, seed: int = 0):
         """Apply the forward operator + per-seed measurement noise — the
@@ -113,6 +129,8 @@ class Restorer:
         seed) -> identical output.
         """
         noisy = jnp.asarray(noisy, jnp.float32)
+        if self.mesh is not None:
+            noisy = self._shard_batch(noisy, self.mesh)
         out, _ = self.solver.solve_batch(
             noisy, noisy, self.degradation, self.sigma_noise, int(seed)
         )

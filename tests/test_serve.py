@@ -74,3 +74,23 @@ def test_other_method_and_problem():
 
 def test_warmup_compiles(restorer):
     assert restorer.warmup(2) is restorer
+
+
+def test_sharded_restore_matches_unsharded(restorer):
+    """Mesh-sharded serving (8 virtual CPU devices via conftest): same
+    restorations as the single-device path."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    with pytest.warns(UserWarning, match="random init"):
+        sharded = Restorer(
+            method="pnp_flow", problem="gaussian_deblurring_FFT",
+            dim_image=64, batch_size=8,
+            overrides={"steps_pnp": 4, "num_samples": 1},
+            shard=True, n_devices=8,
+        )
+    y = sharded.degrade(_clean(8), seed=2)
+    got = sharded.restore(y, seed=2)
+    want = restorer.restore(y, seed=2)
+    np.testing.assert_allclose(got, want, atol=1e-5)
