@@ -70,6 +70,75 @@ def init_params(module, args, seed: int = 0):
     return module.init(jax.random.PRNGKey(seed), x, t)
 
 
+# -- architecture fingerprint -------------------------------------------------
+#
+# ``flax.serialization.from_bytes`` restores structurally: a fully
+# convolutional U-Net trained at 64² has byte-identical parameter shapes to
+# one built at 16², so a checkpoint from any resolution would silently load
+# into a model of any other.  Every checkpoint this framework writes is
+# therefore wrapped in an envelope carrying the architecture fingerprint
+# below, verified on load (reference contract: utils.py:208-240 keys
+# checkpoints by dataset/model only and has the same hazard).
+
+_ARCH_KEY = "__pnpflow_arch__"
+
+
+def model_fingerprint(module, args) -> dict:
+    """Identity of the (model kind, geometry, architecture) a checkpoint
+    was produced for: {model, dim_image, num_channels} plus any
+    architecture fields the module exposes (ch/ch_mult/num_res_blocks/
+    attn_resolutions for VelocityUNet, nf etc. for NCSN++)."""
+    fp = {
+        "model": str(args.model),
+        "dim_image": int(args.dim_image),
+        "num_channels": int(args.num_channels),
+    }
+    for field in ("ch", "nf", "ch_mult", "num_res_blocks",
+                  "attn_resolutions"):
+        if hasattr(module, field):
+            v = getattr(module, field)
+            fp[field] = (
+                [int(e) for e in v] if isinstance(v, (tuple, list))
+                else int(v)
+            )
+    return fp
+
+
+def _normalize_fp(fp: dict) -> dict:
+    return {
+        k: ([int(e) for e in v] if isinstance(v, (tuple, list)) else v)
+        for k, v in fp.items()
+    }
+
+
+def save_params_file(params, path, fingerprint: dict | None = None):
+    """Write a params checkpoint; with ``fingerprint`` the file is an
+    envelope ``{_ARCH_KEY: fp, 'params': state_dict}`` rejected on load by
+    any model whose fingerprint differs.  Without it, the legacy raw
+    format is written (converter CLIs for published torch checkpoints,
+    whose geometry the CLI cannot know)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    state = serialization.to_state_dict(jax.device_get(params))
+    payload = (
+        {_ARCH_KEY: _normalize_fp(fingerprint), "params": state}
+        if fingerprint is not None else state
+    )
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+
+def restore_params_bytes(template, blob):
+    """-> (params, fingerprint_or_None).  Accepts both envelope and legacy
+    raw formats; raises ValueError on structural mismatch."""
+    raw = serialization.msgpack_restore(blob)
+    if isinstance(raw, dict) and _ARCH_KEY in raw:
+        return (
+            serialization.from_state_dict(template, raw["params"]),
+            raw[_ARCH_KEY],
+        )
+    return serialization.from_state_dict(template, raw), None
+
+
 def checkpoint_paths(args):
     base = os.path.join(
         args.output_root, "model", args.dataset, args.model
@@ -86,20 +155,36 @@ def load_params(module, args, require: bool = False):
     if os.path.exists(paths["msgpack"]):
         template = init_params(module, args)
         with open(paths["msgpack"], "rb") as f:
-            try:
-                return serialization.from_bytes(template, f.read())
-            except ValueError as exc:
-                # checkpoint belongs to a different architecture (e.g. a
-                # different dim_image) — fail loudly when weights are
-                # required, fall through to random init otherwise
-                if require:
-                    raise
-                warnings.warn(
-                    "Checkpoint at {} does not match the current model "
-                    "configuration ({}) — ignoring it.".format(
-                        paths["msgpack"], exc
+            blob = f.read()
+        try:
+            params, stored_fp = restore_params_bytes(template, blob)
+        except ValueError as exc:
+            # checkpoint belongs to a different architecture (e.g. a
+            # different channel count) — fail loudly when weights are
+            # required, fall through to random init otherwise
+            if require:
+                raise
+            warnings.warn(
+                "Checkpoint at {} does not match the current model "
+                "configuration ({}) — ignoring it.".format(
+                    paths["msgpack"], exc
+                )
+            )
+            params = None
+        if params is not None:
+            expected_fp = _normalize_fp(model_fingerprint(module, args))
+            if stored_fp is not None and _normalize_fp(stored_fp) != expected_fp:
+                msg = (
+                    "Checkpoint at {} was saved for a different "
+                    "architecture: stored {} vs expected {}.".format(
+                        paths["msgpack"], stored_fp, expected_fp
                     )
                 )
+                if require:
+                    raise ValueError(msg)
+                warnings.warn(msg + " Ignoring it.")
+            else:
+                return params
     if os.path.exists(paths["torch"]):
         from pnpflow_tpu.utils.torch_convert import (
             convert_unet_state_dict,
@@ -120,10 +205,8 @@ def load_params(module, args, require: bool = False):
     return init_params(module, args, seed=int(getattr(args, "seed", 0) or 0))
 
 
-def save_params(params, path):
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(params))
+def save_params(params, path, fingerprint: dict | None = None):
+    save_params_file(params, path, fingerprint=fingerprint)
 
 
 def build_model_bundle(args, dtype=jnp.float32, params=None,

@@ -60,7 +60,8 @@ class Restorer:
                  sigma_noise: float | None = None, batch_size: int = 4,
                  params=None, overrides: dict | None = None,
                  require_ckpt: bool = False, dtype=jnp.float32,
-                 shard: bool = False, n_devices: int | None = None):
+                 shard: bool = False, n_devices: int | None = None,
+                 output_root: str | None = None):
         from pnpflow_tpu.models.registry import build_model_bundle
         from pnpflow_tpu.ops.degradations import make_degradation
         from pnpflow_tpu.solvers.factory import build_solver
@@ -75,6 +76,13 @@ class Restorer:
         args = load_full_config(opts, root=_config_root())
         args.dim_image = dim_image
         args.num_channels = num_channels
+        if output_root is not None:
+            # hermetic checkpoint resolution: weights come from (and only
+            # from) this root instead of whatever ./model/ the process
+            # happens to be running next to
+            args.output_root = str(output_root)
+            if not args.output_root.endswith(os.sep):
+                args.output_root += os.sep
 
         self.args = args
         self.bundle = build_model_bundle(
@@ -112,12 +120,14 @@ class Restorer:
 
         clean = jnp.asarray(clean)
         key = jax.random.PRNGKey(seed)
-        noise = jax.random.normal(key, clean.shape, clean.dtype)
         if self.args.noise_type == "laplace":
             u = jax.random.uniform(
-                key, clean.shape, clean.dtype, 1e-6, 1.0 - 1e-6
+                jax.random.fold_in(key, 1), clean.shape, clean.dtype,
+                1e-6, 1.0 - 1e-6,
             ) - 0.5
             noise = -jnp.sign(u) * jnp.log1p(-2.0 * jnp.abs(u))
+        else:
+            noise = jax.random.normal(key, clean.shape, clean.dtype)
         return self.degradation.H(clean) + self.sigma_noise * noise
 
     # -- restoration -------------------------------------------------------

@@ -127,8 +127,15 @@ class Solver:
         measure = make_measurement_fn(H, sigma_noise, args.noise_type)
 
         loader = iter(test_loader)
+        batches_run = 0
         for batch in range(args.max_batch):
-            clean_img, _ = next(loader)
+            try:
+                clean_img, _ = next(loader)
+            except StopIteration:
+                # max_batch exceeds the split — stop gracefully like the
+                # reference's enumerate+break loop (pnp_flow.py:70-75)
+                break
+            batches_run = batch + 1
             clean_img = jnp.asarray(clean_img)
             args.batch = batch
 
@@ -177,11 +184,15 @@ class Solver:
         if profile_dir:
             jax.profiler.stop_trace()
 
-        if args.save_results:
+        # averaging reads per-batch files for range(max_batch); clamp to the
+        # batches that actually ran so a short split still aggregates
+        args.max_batch = batches_run
+
+        if args.save_results and batches_run:
             reporting.compute_average_psnr(args)
             reporting.compute_average_ssim(args)
             reporting.compute_average_lpips(args)
-        if args.compute_memory:
+        if args.compute_memory and batches_run:
             reporting.compute_average_memory(args)
-        if args.compute_time:
+        if args.compute_time and batches_run:
             reporting.compute_average_time(args)

@@ -198,8 +198,15 @@ class GradientStepTrainer:
         }
 
     def save_params(self, state, name):
-        with open(os.path.join(self.model_dir, name), "wb") as f:
-            f.write(serialization.to_bytes(jax.device_get(state["params"])))
+        from pnpflow_tpu.models.registry import (
+            model_fingerprint,
+            save_params_file,
+        )
+
+        save_params_file(
+            state["params"], os.path.join(self.model_dir, name),
+            fingerprint=model_fingerprint(self.model, self.args),
+        )
 
     def train(self, data_loaders):
         args = self.args

@@ -251,16 +251,26 @@ class FlowMatchingTrainer:
         os.replace(tmp, self._state_path())
 
     def save_state(self, state, epoch=None, epochs_done: int = 0):
+        from pnpflow_tpu.models.registry import (
+            model_fingerprint,
+            save_params_file,
+        )
+
         self.save_preemption(state, epochs_done)
         state = jax.device_get(state)
         name = (
             "model_final.msgpack" if epoch is None
             else "model_{}.msgpack".format(epoch)
         )
-        with open(os.path.join(self.model_dir, name), "wb") as f:
-            f.write(serialization.to_bytes(state["params"]))
-        with open(os.path.join(self.model_dir, "ema_" + name), "wb") as f:
-            f.write(serialization.to_bytes(state["ema"]))
+        fp = model_fingerprint(self.model, self.args)
+        save_params_file(
+            state["params"], os.path.join(self.model_dir, name),
+            fingerprint=fp,
+        )
+        save_params_file(
+            state["ema"], os.path.join(self.model_dir, "ema_" + name),
+            fingerprint=fp,
+        )
 
     def restore_state(self, state):
         """-> (state, epochs_done, resumed).  Incompatible or legacy resume
@@ -399,8 +409,11 @@ class FlowMatchingTrainer:
             args = self.args
             if "eval_split" not in args:
                 args.eval_split = "test"
+            # FID-5k training curve uses the Euler-10 sampler (reference
+            # train_flow_matching.py:117-129), not the metric protocol's
+            # adaptive dopri5
             out = ComputeMetric({"test": test}, bundle, args).compute_metrics(
-                n, steps=10
+                n, steps=10, sampler="euler"
             )
             with open(os.path.join(self.model_dir, "FID_5k.txt"), "a") as f:
                 f.write("{} {}\n".format(epoch, out["fid"]))

@@ -141,6 +141,28 @@ def test_full_solver_class_with_reporting(tmp_path, bundle):
     assert header == ["psnr_rec", "psnr_noisy", "steps_pnp", "lr_pnp"]
 
 
+def test_solve_ip_stops_at_dataset_end(bundle):
+    """max_batch beyond the split must end gracefully like the reference's
+    enumerate+break loop (pnp_flow.py:70-75), not raise StopIteration."""
+    args = CfgNode(
+        dict(
+            steps_pnp=2, lr_pnp=1.0, gamma_style="constant", num_samples=1,
+            alpha=1.0, noise_type="gaussian", problem="inpainting",
+            save_results=False, compute_time=False, compute_memory=False,
+            max_batch=7,
+        )
+    )
+    op = BoxInpainting(6, DIM)
+    rng = np.random.default_rng(1)
+    batches = [
+        (rng.normal(size=(2, DIM, DIM, 3)).astype(np.float32), np.zeros(2))
+        for _ in range(2)
+    ]
+    solver = PnPFlow(bundle, args)
+    solver.solve_ip(batches, op, 0.05)
+    assert args.batch == 1  # only the 2 real batches ran
+
+
 @pytest.mark.slow
 def test_solver_cache_invalidated_on_physics_change(bundle):
     """Reusing one solver instance with a different degradation or sigma must

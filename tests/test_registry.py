@@ -13,6 +13,7 @@ from pnpflow_tpu.models.registry import (
     define_model,
     init_params,
     load_params,
+    model_fingerprint,
     save_params,
 )
 from pnpflow_tpu.utils.config import CfgNode
@@ -64,6 +65,42 @@ def test_mismatched_checkpoint_falls_back(tmp_path):
 
     with pytest.raises(ValueError):
         load_params(m64, args64, require=True)
+
+
+def test_cross_resolution_fingerprint_rejected(tmp_path):
+    """A fully convolutional U-Net has byte-identical parameter shapes at
+    every resolution, so structural restore alone would silently load a
+    64²-trained checkpoint into a 16² model.  The architecture fingerprint
+    embedded at save time must reject it loudly."""
+    # dims 48 and 24 both have NO attention level (no 16/8 feature map), so
+    # their parameter trees are byte-compatible — the silent case
+    args48 = _args(tmp_path, dim=48)
+    m48 = define_model(args48)
+    save_params(
+        init_params(m48, args48), checkpoint_paths(args48)["msgpack"],
+        fingerprint=model_fingerprint(m48, args48),
+    )
+
+    # same dataset/model → the dim-24 run resolves the very same file
+    args24 = _args(tmp_path, dim=24)
+    m24 = define_model(args24)
+    with pytest.warns(UserWarning, match="different\\s+architecture"):
+        load_params(m24, args24)
+    with pytest.raises(ValueError, match="different\\s+architecture"):
+        load_params(m24, args24, require=True)
+
+    # the matching-geometry model loads it cleanly, no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        load_params(m48, args48)
+
+
+def test_fingerprint_fields():
+    args = _args("/tmp", dim=64)
+    fp = model_fingerprint(define_model(args), args)
+    assert fp["model"] == "ot" and fp["dim_image"] == 64
+    assert fp["ch"] == 32 and fp["ch_mult"] == [1, 2, 4, 8]
+    assert fp["num_res_blocks"] == 6 and fp["attn_resolutions"] == [16, 8]
 
 
 def test_bundle_rectified_scales_t(tmp_path):

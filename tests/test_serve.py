@@ -8,13 +8,22 @@ from pnpflow_tpu.serve import Restorer
 
 
 @pytest.fixture(scope="module")
-def restorer():
+def ckpt_root(tmp_path_factory):
+    """Hermetic checkpoint root: serve tests must never pick up whatever
+    ./model/ the working tree happens to hold (e.g. on-device training
+    output — a 64²-trained U-Net loads structurally into ANY resolution)."""
+    return str(tmp_path_factory.mktemp("serve_ckpts"))
+
+
+@pytest.fixture(scope="module")
+def restorer(ckpt_root):
     with pytest.warns(UserWarning, match="random init"):
         # 64²: the protocol's 61-tap blur kernel must fit the image
         return Restorer(
             method="pnp_flow", problem="gaussian_deblurring_FFT",
             dim_image=64, batch_size=2,
             overrides={"steps_pnp": 4, "num_samples": 1},
+            output_root=ckpt_root,
         )
 
 
@@ -59,11 +68,12 @@ def test_method_defaults_resolved_from_config(restorer):
     assert restorer.sigma_noise == pytest.approx(0.05)
 
 
-def test_other_method_and_problem():
+def test_other_method_and_problem(ckpt_root):
     with pytest.warns(UserWarning, match="random init"):
         r = Restorer(
             method="ot_ode", problem="denoising", dim_image=16,
             batch_size=2, overrides={"steps_ode": 5},
+            output_root=ckpt_root,
         )
     y = r.degrade(_clean(dim=16), seed=0)
     out = r.restore(y, seed=0)
@@ -76,7 +86,7 @@ def test_warmup_compiles(restorer):
     assert restorer.warmup(2) is restorer
 
 
-def test_sharded_restore_matches_unsharded(restorer):
+def test_sharded_restore_matches_unsharded(restorer, ckpt_root):
     """Mesh-sharded serving (8 virtual CPU devices via conftest): same
     restorations as the single-device path."""
     import jax
@@ -88,7 +98,7 @@ def test_sharded_restore_matches_unsharded(restorer):
             method="pnp_flow", problem="gaussian_deblurring_FFT",
             dim_image=64, batch_size=8,
             overrides={"steps_pnp": 4, "num_samples": 1},
-            shard=True, n_devices=8,
+            shard=True, n_devices=8, output_root=ckpt_root,
         )
     y = sharded.degrade(_clean(8), seed=2)
     got = sharded.restore(y, seed=2)
