@@ -76,11 +76,18 @@ def main():
             print("Computing metrics...")
             from pnpflow_tpu.metrics.generative import ComputeMetric
 
+            # n=5000 is the reference protocol (compute_metric.py:30);
+            # metric_n / metric_steps are test/sweep knobs
+            n_metric = int(getattr(args, "metric_n", 5000) or 5000)
+            metric_steps = int(getattr(args, "metric_steps", 100) or 100)
             data_loaders = DataLoaders(
-                args.dataset, 5000, 5000, root=data_root,
-                dim_image=args.dim_image, num_channels=args.num_channels,
+                args.dataset, min(n_metric, 500), min(n_metric, 500),
+                root=data_root, dim_image=args.dim_image,
+                num_channels=args.num_channels,
             ).load_data()
-            ComputeMetric(data_loaders, bundle, args).compute_metrics(5000)
+            ComputeMetric(data_loaders, bundle, args).compute_metrics(
+                n_metric, steps=metric_steps
+            )
             print("Computing metrics done!")
 
         degradation, sigma_noise = make_degradation(args)

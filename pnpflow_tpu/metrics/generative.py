@@ -118,15 +118,29 @@ class ComputeMetric:
     """FID (+ Vendi, SW) of generated samples vs the test set.
 
     Mirrors the reference protocol: Inception-2048 statistics of n test
-    images vs n generated images sampled in batches of 50 via the flow ODE
-    (compute_metric.py:20-45).  Falls back to raw-pixel features with a
+    images vs n generated images sampled via the flow ODE with adaptive
+    dopri5 (compute_metric.py:20-45 -> train_flow_matching.py:131-150,
+    torchdiffeq dopri5 tol 1e-5; ``args.metric_sampler euler`` selects the
+    fixed-step sampler instead).  Falls back to raw-pixel features with a
     warning when Inception weights are unavailable (zero-egress).
+
+    TPU-native scaling: features are extracted in fixed-size chunks (the
+    n x dim² image set is never materialized as one device array), the
+    sampling batch is a multiple of the device count, and both generation
+    and the Inception forward shard over the mesh 'data' axis — the
+    equivalent of the reference's per-device Inception fan-out
+    (image_generation/evaluation.py:106-146).
     """
 
     def __init__(self, data_loaders, bundle, args):
         self.loaders = data_loaders
         self.bundle = bundle
         self.args = args
+        self.mesh = None
+        if len(jax.devices()) > 1:
+            from pnpflow_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
 
     def _feature_fn(self):
         from pnpflow_tpu.models.inception import get_inception_feature_fn
@@ -150,48 +164,78 @@ class ComputeMetric:
 
         return pixel_features, "pixels_32"
 
-    def compute_metrics(self, n: int, steps: int = 100):
+    def _sample_batch(self, key, batch: int, steps: int,
+                      sampler: str | None = None):
+        """Generate one batch via the flow ODE, sharded over the mesh."""
+        from pnpflow_tpu.ops.ode import odeint
+
+        args = self.args
+        dim, c = args.dim_image, args.num_channels
+        x0 = jax.random.normal(key, (batch, dim, dim, c), jnp.float32)
+        params = self.bundle.params
+        if self.mesh is not None:
+            from pnpflow_tpu.parallel.mesh import replicate, shard_batch
+
+            x0 = shard_batch(np.asarray(x0), self.mesh)
+            if not hasattr(self, "_params_r"):
+                self._params_r = replicate(params, self.mesh)
+            params = self._params_r
+
+        def f(x, t):
+            return self.bundle.apply(
+                params, x, jnp.full((x.shape[0],), t, jnp.float32)
+            )
+
+        method = sampler or getattr(args, "metric_sampler", "dopri5") \
+            or "dopri5"
+        return odeint(f, x0, 0.0, 1.0, method=method, steps=steps)
+
+    def compute_metrics(self, n: int, steps: int = 100,
+                        sampler: str | None = None):
         args = self.args
         feature_fn, feat_name = self._feature_fn()
 
-        # test-set features ([-1,1] -> [0,1])
-        xs = []
+        # sampling/extraction batch: the reference's 50, rounded to a
+        # multiple of the device count so the mesh shard path engages,
+        # and never (much) larger than n itself
+        n_dev = len(jax.devices())
+        batch = max(n_dev, (50 // n_dev) * n_dev)
+        batch = max(n_dev, min(batch, ((n + n_dev - 1) // n_dev) * n_dev))
+
+        # test-set features ([-1,1] -> [0,1]), extracted chunk-by-chunk —
+        # never the whole n x dim² set in one device array
+        test_feats = []
         count = 0
         for x, _ in self.loaders[args.eval_split]:
-            xs.append(np.asarray(x, np.float32))
+            x = np.asarray(x, np.float32)[: n - count]
+            for i in range(0, len(x), batch):
+                chunk01 = (jnp.asarray(x[i : i + batch]) + 1.0) / 2.0
+                test_feats.append(np.asarray(feature_fn(chunk01)))
             count += len(x)
             if count >= n:
                 break
-        test = jnp.asarray(np.concatenate(xs, axis=0)[:n])
-        test01 = (test + 1.0) / 2.0
-        feat_test = feature_fn(test01)
+        feat_test = np.concatenate(test_feats, axis=0)[:n]
 
-        # generated features via Euler flow sampling in batches of 50
-        from pnpflow_tpu.training.flow_matching import euler_sample
-
+        # generated features via the flow ODE (dopri5 by default, the
+        # reference's metric sampler)
         gen_feats = []
-        gen_sw = []
         key = jax.random.PRNGKey(int(getattr(args, "seed", 0) or 0))
-        batch = 50
-        dim, c = args.dim_image, args.num_channels
-        # ceil-divide so any n >= 1 works; trim the overshoot below
-        for i in range((n + batch - 1) // batch):
+        for _ in range((n + batch - 1) // batch):
             key, sub = jax.random.split(key)
-            samples = euler_sample(
-                self.bundle.apply, self.bundle.params, sub,
-                (batch, dim, dim, c), steps=steps,
-            )
+            samples = self._sample_batch(sub, batch, steps, sampler)
             s01 = jnp.clip((samples + 1.0) / 2.0, 0.0, 1.0)
-            gen_feats.append(feature_fn(s01))
-            gen_sw.append(np.asarray(s01))
-        feat_gen = jnp.concatenate(gen_feats, axis=0)[:n]
+            gen_feats.append(np.asarray(feature_fn(s01)))
+        feat_gen = np.concatenate(gen_feats, axis=0)[:n]
 
         fid = fid_from_features(feat_test, feat_gen)
-        vendi = float(vendi_score(feat_gen[: min(2048, feat_gen.shape[0])]))
+        vendi = float(
+            vendi_score(jnp.asarray(feat_gen[: min(2048, len(feat_gen))]))
+        )
+        # SW on the same feature space as FID (O(N x D) memory — raw-pixel
+        # clouds at n=5000 x 256² would not fit device HBM)
         sw = float(
             sliced_wasserstein(
-                jnp.asarray(np.concatenate(gen_sw, axis=0)[:n]),
-                test01,
+                jnp.asarray(feat_gen), jnp.asarray(feat_test),
                 key=jax.random.PRNGKey(0),
             )
         )

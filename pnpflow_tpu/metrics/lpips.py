@@ -92,20 +92,20 @@ def lpips_distance(weights: dict, x: jnp.ndarray, y: jnp.ndarray):
 
 def get_lpips_fn(args):
     """Return a callable (clean, rec) -> scalar, or None if no weights."""
-    path = os.path.join(
+    path = os.path.abspath(os.path.join(
         getattr(args, "output_root", "./"), "model", "lpips_alex.npz"
-    )
-    if "fn" in _CACHE:
-        return _CACHE["fn"]
+    ))
+    if path in _CACHE:
+        return _CACHE[path]
     if not os.path.exists(path):
-        if "warned" not in _CACHE:
+        if ("warned", path) not in _CACHE:
             warnings.warn(
                 "LPIPS weights not found at {} — skipping LPIPS reporting "
                 "(PSNR/SSIM unaffected). Convert torch LPIPS weights with "
                 "pnpflow_tpu.utils.lpips_convert.".format(path)
             )
-            _CACHE["warned"] = True
+            _CACHE[("warned", path)] = True
         return None
     data = dict(np.load(path))
-    _CACHE["fn"] = lambda a, b: lpips_distance(data, a, b)
-    return _CACHE["fn"]
+    _CACHE[path] = lambda a, b: lpips_distance(data, a, b)
+    return _CACHE[path]
