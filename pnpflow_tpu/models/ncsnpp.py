@@ -38,23 +38,27 @@ from pnpflow_tpu.ops.upfirdn import (
 )
 
 
-def _gn(ch: int, name: str):
+def _gn(ch: int, name: str, dtype=jnp.float32):
+    # dtype must be threaded explicitly: flax promotes to the fp32 param
+    # dtype otherwise, silently turning a "bf16" forward into fp32 compute
     return nn.GroupNorm(
-        num_groups=min(ch // 4, 32), epsilon=1e-6, name=name
+        num_groups=min(ch // 4, 32), epsilon=1e-6, dtype=dtype, name=name
     )
 
 
-def conv3x3(features: int, name: str, init_scale: float = 1.0):
+def conv3x3(features: int, name: str, init_scale: float = 1.0,
+            dtype=jnp.float32):
     return nn.Conv(
         features, (3, 3), padding=1, kernel_init=vs_init(init_scale),
-        bias_init=nn.initializers.zeros, name=name,
+        bias_init=nn.initializers.zeros, dtype=dtype, name=name,
     )
 
 
-def conv1x1(features: int, name: str, init_scale: float = 1.0):
+def conv1x1(features: int, name: str, init_scale: float = 1.0,
+            dtype=jnp.float32):
     return nn.Conv(
         features, (1, 1), padding=0, kernel_init=vs_init(init_scale),
-        bias_init=nn.initializers.zeros, name=name,
+        bias_init=nn.initializers.zeros, dtype=dtype, name=name,
     )
 
 
@@ -63,6 +67,7 @@ class NIN(nn.Module):
 
     features: int
     init_scale: float = 1.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -70,7 +75,7 @@ class NIN(nn.Module):
             "W", vs_init(self.init_scale), (x.shape[-1], self.features)
         )
         b = self.param("b", nn.initializers.zeros, (self.features,))
-        return x @ w + b
+        return x @ w.astype(self.dtype) + b.astype(self.dtype)
 
 
 class GaussianFourierProjection(nn.Module):
@@ -97,14 +102,15 @@ class AttnBlockpp(nn.Module):
 
     init_scale: float = 0.0
     skip_rescale: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, hh, ww, c = x.shape
-        h = _gn(c, "GroupNorm_0")(x)
-        q = NIN(c, name="NIN_0")(h)
-        k = NIN(c, name="NIN_1")(h)
-        v = NIN(c, name="NIN_2")(h)
+        h = _gn(c, "GroupNorm_0", self.dtype)(x)
+        q = NIN(c, dtype=self.dtype, name="NIN_0")(h)
+        k = NIN(c, dtype=self.dtype, name="NIN_1")(h)
+        v = NIN(c, dtype=self.dtype, name="NIN_2")(h)
         q = q.reshape(b, hh * ww, c)
         k = k.reshape(b, hh * ww, c)
         v = v.reshape(b, hh * ww, c)
@@ -116,9 +122,12 @@ class AttnBlockpp(nn.Module):
             "bij,bjc->bic", w, v, preferred_element_type=jnp.float32
         ).astype(x.dtype)
         h = h.reshape(b, hh, ww, c)
-        h = NIN(c, init_scale=self.init_scale, name="NIN_3")(h)
+        h = NIN(c, init_scale=self.init_scale, dtype=self.dtype,
+                name="NIN_3")(h)
         out = x + h
-        return out / np.sqrt(2.0) if self.skip_rescale else out
+        # math.sqrt gives a weak-typed python float: np.float64 scalars
+        # promote bf16 activations to fp32 (jax promotion rules)
+        return out / math.sqrt(2.0) if self.skip_rescale else out
 
 
 class Upsample(nn.Module):
@@ -129,6 +138,7 @@ class Upsample(nn.Module):
     with_conv: bool = False
     fir: bool = True
     fir_kernel: Sequence[int] = (1, 3, 3, 1)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -138,14 +148,14 @@ class Upsample(nn.Module):
             b, h, w, _ = x.shape
             y = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
             if self.with_conv:
-                y = conv3x3(out_ch, "Conv_0")(y)
+                y = conv3x3(out_ch, "Conv_0", dtype=self.dtype)(y)
             return y
         if not self.with_conv:
             return upsample_2d(x, self.fir_kernel, factor=2)
         w = self.param("Conv2d_0_weight", vs_init(), (3, 3, c, out_ch))
         b = self.param("Conv2d_0_bias", nn.initializers.zeros, (out_ch,))
         y = upsample_conv_2d(x, w, k=self.fir_kernel, factor=2)
-        return y + b[None, None, None, :]
+        return y + b[None, None, None, :].astype(y.dtype)
 
 
 class Downsample(nn.Module):
@@ -156,6 +166,7 @@ class Downsample(nn.Module):
     with_conv: bool = False
     fir: bool = True
     fir_kernel: Sequence[int] = (1, 3, 3, 1)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -166,7 +177,7 @@ class Downsample(nn.Module):
                 y = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
                 return nn.Conv(
                     out_ch, (3, 3), strides=(2, 2), padding=0,
-                    kernel_init=vs_init(), name="Conv_0",
+                    kernel_init=vs_init(), dtype=self.dtype, name="Conv_0",
                 )(y)
             return nn.avg_pool(x, (2, 2), (2, 2))
         if not self.with_conv:
@@ -174,7 +185,7 @@ class Downsample(nn.Module):
         w = self.param("Conv2d_0_weight", vs_init(), (3, 3, c, out_ch))
         b = self.param("Conv2d_0_bias", nn.initializers.zeros, (out_ch,))
         y = conv_downsample_2d(x, w, k=self.fir_kernel, factor=2)
-        return y + b[None, None, None, :]
+        return y + b[None, None, None, :].astype(y.dtype)
 
 
 class ResnetBlockBigGAN(nn.Module):
@@ -189,12 +200,13 @@ class ResnetBlockBigGAN(nn.Module):
     fir_kernel: Sequence[int] = (1, 3, 3, 1)
     skip_rescale: bool = True
     init_scale: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb=None, deterministic: bool = True):
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
-        h = nn.swish(_gn(in_ch, "GroupNorm_0")(x))
+        h = nn.swish(_gn(in_ch, "GroupNorm_0", self.dtype)(x))
 
         if self.up:
             if self.fir:
@@ -211,20 +223,24 @@ class ResnetBlockBigGAN(nn.Module):
                 h = naive_downsample_2d(h)
                 x = naive_downsample_2d(x)
 
-        h = conv3x3(out_ch, "Conv_0")(h)
+        h = conv3x3(out_ch, "Conv_0", dtype=self.dtype)(h)
         if temb is not None:
             h = h + nn.Dense(
                 out_ch, kernel_init=vs_init(),
-                bias_init=nn.initializers.zeros, name="Dense_0",
+                bias_init=nn.initializers.zeros, dtype=self.dtype,
+                name="Dense_0",
             )(nn.swish(temb))[:, None, None, :]
-        h = nn.swish(_gn(out_ch, "GroupNorm_1")(h))
+        h = nn.swish(_gn(out_ch, "GroupNorm_1", self.dtype)(h))
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = conv3x3(out_ch, "Conv_1", init_scale=self.init_scale)(h)
+        h = conv3x3(out_ch, "Conv_1", init_scale=self.init_scale,
+                    dtype=self.dtype)(h)
         if in_ch != out_ch or self.up or self.down:
-            x = conv1x1(out_ch, "Conv_2")(x)
+            x = conv1x1(out_ch, "Conv_2", dtype=self.dtype)(x)
         out = x + h
-        return out / np.sqrt(2.0) if self.skip_rescale else out
+        # math.sqrt gives a weak-typed python float: np.float64 scalars
+        # promote bf16 activations to fp32 (jax promotion rules)
+        return out / math.sqrt(2.0) if self.skip_rescale else out
 
 
 class Combine(nn.Module):
@@ -232,10 +248,11 @@ class Combine(nn.Module):
 
     out_ch: int
     method: str = "sum"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, y):
-        h = conv1x1(self.out_ch, "Conv_0")(x)
+        h = conv1x1(self.out_ch, "Conv_0", dtype=self.dtype)(x)
         if self.method == "cat":
             return jnp.concatenate([h, y], axis=-1)
         return h + y
@@ -284,13 +301,14 @@ class NCSNpp(nn.Module):
             return ResnetBlockBigGAN(
                 out_ch=out_ch, up=up, down=down, dropout=self.dropout,
                 fir=self.fir, fir_kernel=fk, skip_rescale=self.skip_rescale,
-                init_scale=self.init_scale, name=next_name(),
+                init_scale=self.init_scale, dtype=self.dtype,
+                name=next_name(),
             )(h, temb, deterministic)
 
         def attn_block(h):
             return AttnBlockpp(
                 init_scale=self.init_scale, skip_rescale=self.skip_rescale,
-                name=next_name(),
+                dtype=self.dtype, name=next_name(),
             )(h)
 
         x = x.astype(self.dtype)
@@ -310,18 +328,20 @@ class NCSNpp(nn.Module):
         if self.conditional:
             temb = nn.Dense(
                 nf * 4, kernel_init=vs_init(),
-                bias_init=nn.initializers.zeros, name=next_name(),
+                bias_init=nn.initializers.zeros, dtype=self.dtype,
+                name=next_name(),
             )(temb)
             temb = nn.Dense(
                 nf * 4, kernel_init=vs_init(),
-                bias_init=nn.initializers.zeros, name=next_name(),
+                bias_init=nn.initializers.zeros, dtype=self.dtype,
+                name=next_name(),
             )(nn.swish(temb))
         else:
             temb = None
 
         # --- down path
         input_pyramid = x if self.progressive_input != "none" else None
-        hs = [conv3x3(nf, next_name())(x)]
+        hs = [conv3x3(nf, next_name(), dtype=self.dtype)(x)]
         for i_level in range(num_resolutions):
             for i_block in range(self.num_res_blocks):
                 h = res_block(hs[-1], temb, out_ch=nf * self.ch_mult[i_level])
@@ -334,7 +354,7 @@ class NCSNpp(nn.Module):
                     input_pyramid = downsample_2d(input_pyramid, fk, factor=2)
                     h = Combine(
                         out_ch=h.shape[-1], method=self.progressive_combine,
-                        name=next_name(),
+                        dtype=self.dtype, name=next_name(),
                     )(input_pyramid, h)
                 hs.append(h)
 
@@ -358,18 +378,22 @@ class NCSNpp(nn.Module):
             if self.progressive != "none":
                 if i_level == num_resolutions - 1:
                     if self.progressive == "output_skip":
-                        p = nn.swish(_gn(h.shape[-1], next_name())(h))
+                        p = nn.swish(
+                            _gn(h.shape[-1], next_name(), self.dtype)(h)
+                        )
                         pyramid = conv3x3(
                             self.num_channels, next_name(),
-                            init_scale=self.init_scale,
+                            init_scale=self.init_scale, dtype=self.dtype,
                         )(p)
                 else:
                     if self.progressive == "output_skip":
                         pyramid = upsample_2d(pyramid, fk, factor=2)
-                        p = nn.swish(_gn(h.shape[-1], next_name())(h))
+                        p = nn.swish(
+                            _gn(h.shape[-1], next_name(), self.dtype)(h)
+                        )
                         p = conv3x3(
                             self.num_channels, next_name(),
-                            init_scale=self.init_scale,
+                            init_scale=self.init_scale, dtype=self.dtype,
                         )(p)
                         pyramid = pyramid + p
 
@@ -381,9 +405,10 @@ class NCSNpp(nn.Module):
         if self.progressive == "output_skip":
             h = pyramid
         else:
-            h = nn.swish(_gn(h.shape[-1], next_name())(h))
+            h = nn.swish(_gn(h.shape[-1], next_name(), self.dtype)(h))
             h = conv3x3(
-                self.num_channels, next_name(), init_scale=self.init_scale
+                self.num_channels, next_name(), init_scale=self.init_scale,
+                dtype=self.dtype,
             )(h)
 
         if self.scale_by_sigma:

@@ -126,6 +126,7 @@ def upsample_conv_2d(x, w_hwio, k=None, factor: int = 2, gain: float = 1.0):
     cross-correlation with ``lhs_dilation`` and full padding.
     """
     kh = w_hwio.shape[0]
+    w_hwio = jnp.asarray(w_hwio, x.dtype)  # keep bf16 compute paths bf16
     if k is None:
         k = [1.0] * factor
     k = setup_kernel(k) * (gain * factor**2)
@@ -147,6 +148,7 @@ def upsample_conv_2d(x, w_hwio, k=None, factor: int = 2, gain: float = 1.0):
 def conv_downsample_2d(x, w_hwio, k=None, factor: int = 2, gain: float = 1.0):
     """Fused FIR + strided conv downsample (up_or_down_sampling.py:146-181)."""
     kh = w_hwio.shape[0]
+    w_hwio = jnp.asarray(w_hwio, x.dtype)  # keep bf16 compute paths bf16
     if k is None:
         k = [1.0] * factor
     k = setup_kernel(k) * gain

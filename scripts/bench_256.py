@@ -65,13 +65,21 @@ def main():
     x_init = deg.H_adj(jnp.ones_like(y))
     key = jax.random.PRNGKey(0)
 
+    # warmup/compile, then time chained reps.  Force device->host reads:
+    # on a tunneled TPU, block_until_ready alone can return early (same
+    # methodology as bench.py), which made earlier per-call numbers
+    # untrustworthy in both directions.
     out = solve(params, y, x_init, key, jnp.int32(0), STEPS)
-    jax.block_until_ready(out)
+    float(jnp.mean(out))
 
+    reps = int(os.environ.get("REPS256", 3))
     t0 = time.perf_counter()
-    out = solve(params, y, x_init, key, jnp.int32(0), STEPS)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    for r in range(reps):
+        # data dependency chains the reps so they serialize
+        out = solve(params, y, out, jax.random.fold_in(key, r),
+                    jnp.int32(0), STEPS)
+    float(jnp.mean(out))
+    dt = (time.perf_counter() - t0) / reps
 
     per_step = dt / STEPS
     full_protocol = per_step * 100  # the shipped config runs 100 steps

@@ -146,3 +146,45 @@ def test_fir_upsample_downsample_modules():
     p = downc.init(jax.random.PRNGKey(2), x)
     y = downc.apply(p, x)
     assert y.shape == (1, 4, 4, 4)
+
+
+def test_bf16_dtype_threads_through_whole_forward():
+    """dtype=bf16 must reach every interior layer: flax silently promotes
+    to the fp32 param dtype when a submodule is built without ``dtype``,
+    which doubles HBM traffic and disables bf16 MXU rates (the round-2
+    256² bench was actually computing in fp32 this way)."""
+    m = NCSNpp(image_size=32, num_channels=3, nf=16, ch_mult=(1, 2),
+               num_res_blocks=1, attn_resolutions=(16,), dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(
+            np.float32
+        )
+    )
+    t = jnp.full((2,), 500.0)
+    p = m.init(jax.random.PRNGKey(0), x, t)
+    out32 = m.apply(p, x, t)
+
+    mbf = NCSNpp(image_size=32, num_channels=3, nf=16, ch_mult=(1, 2),
+                 num_res_blocks=1, attn_resolutions=(16,),
+                 dtype=jnp.bfloat16)
+    outbf, inter = mbf.apply(p, x, t, capture_intermediates=True)
+    flat = {
+        jax.tree_util.keystr(path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(inter)[0]
+    }
+    # every named-submodule (m{i}) output rides bf16
+    interior = {
+        k: v.dtype for k, v in flat.items()
+        if hasattr(v, "dtype") and "['m" in k
+    }
+    assert interior, "no intermediates captured: {}".format(list(flat)[:5])
+    # the fourier t-embedding (m0: fp32 log-t projection) is the one
+    # allowed fp32 interior
+    bad = {k: d for k, d in interior.items()
+           if d != jnp.bfloat16 and "['m0']" not in k}
+    assert not bad, bad
+
+    assert outbf.dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(out32))) + 1e-9
+    rel = float(jnp.max(jnp.abs(out32 - outbf))) / scale
+    assert rel < 0.1, rel
