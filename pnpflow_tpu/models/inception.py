@@ -35,7 +35,9 @@ def _conv_bn(x, p, stride=1, pad=((0, 0), (0, 0))):
         x, p["w"], (stride, stride), pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    scale = p["gamma"] / np.sqrt(p["var"] + 1e-3)
+    # jnp, not np: under jit the params are trace constants and np.sqrt
+    # would call __array__ on a tracer (caught by the weight-gated e2e test)
+    scale = p["gamma"] / jnp.sqrt(p["var"] + 1e-3)
     y = y * scale[None, None, None, :] + (
         p["beta"] - p["mean"] * scale
     )[None, None, None, :]

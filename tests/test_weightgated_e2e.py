@@ -83,7 +83,7 @@ def test_cli_emits_final_lpips_with_converted_weights(tmp_path):
         _run_cli(
             "dataset", "synthetic", "model", "ot", "eval", "True",
             "problem", "denoising", "method", "pnp_flow",
-            "dim_image", "32", "output_root", root, "root", root,
+            "dim_image", "32", "output_root", root,
             "max_batch", "1", "batch_size_ip", "2",
             "steps_pnp", "2", "num_samples", "1",
             "save_results", "True", "compute_time", "False",
@@ -117,7 +117,7 @@ def test_cli_compute_metrics_inception_2048(tmp_path):
             "compute_metrics", "True", "metric_n", "16",
             "metric_steps", "2", "metric_sampler", "euler",
             "problem", "denoising", "method", "pnp_flow",
-            "dim_image", "32", "output_root", root, "root", root,
+            "dim_image", "32", "output_root", root,
             "max_batch", "0", "batch_size_ip", "2",
             "save_results", "False", "compute_time", "False",
             "compute_memory", "False", "seed", "0",
