@@ -161,11 +161,51 @@ class DotStatsGroupNorm(nn.Module):
         return y.astype(x.dtype)
 
 
+class LowPrecStatsGroupNorm(nn.Module):
+    """GroupNorm(32, eps 1e-6) [+ swish] with statistics accumulated
+    ENTIRELY in the input dtype — no f32 convert feeding the reduce.
+
+    flax's ``nn.GroupNorm`` always upcasts to fp32 for the moment
+    computation, which shows up in the device trace as the
+    ``convert_reduce_fusion`` dominating 49% of the 64² step (BASELINE.md).
+    This variant keeps the reduction in bf16 (two-pass mean / centered
+    variance for bf16-safe numerics — the one-pass E[x²]−E[x]² form
+    catastrophically cancels at 8 mantissa bits).  Param names/shapes match
+    ``nn.GroupNorm`` so checkpoints convert either way.
+    """
+
+    use_swish: bool = True
+    groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        b, hh, ww, c = x.shape
+        g = self.groups
+        cg = c // g
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        xg = x.reshape(b, hh * ww, g, cg)
+        mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=x.dtype)
+        d = xg - mean
+        var = jnp.mean(d * d, axis=(1, 3), keepdims=True, dtype=x.dtype)
+        inv = jax.lax.rsqrt(var.astype(jnp.float32) + self.eps).astype(
+            x.dtype
+        )
+        y = (d * inv).reshape(b, hh, ww, c)
+        y = y * scale.astype(x.dtype) + bias.astype(x.dtype)
+        if self.use_swish:
+            y = y * jax.nn.sigmoid(y)
+        return y
+
+
 def norm_swish(x, name: str, norm_dtype=None, fused=False):
-    """swish(GroupNorm(x)) — XLA reference pair, Pallas kernels, or
-    MXU-dot statistics, per ``fused``."""
+    """swish(GroupNorm(x)) — XLA reference pair, Pallas kernels, MXU-dot
+    statistics, or all-bf16 statistics, per ``fused``."""
     if fused == "dot":
         return DotStatsGroupNorm(use_swish=True, name=name)(x)
+    if fused == "bf16stats":
+        return LowPrecStatsGroupNorm(use_swish=True, name=name)(x)
     if fused:
         return FusedGroupNorm(use_swish=True, impl=_fused_impl(fused),
                               name=name)(x)
@@ -224,6 +264,8 @@ class SelfAttention(nn.Module):
         b, hh, ww, c = x.shape
         if self.fused_norm == "dot":
             h = DotStatsGroupNorm(use_swish=False, name="norm")(x)
+        elif self.fused_norm == "bf16stats":
+            h = LowPrecStatsGroupNorm(use_swish=False, name="norm")(x)
         elif self.fused_norm:
             h = FusedGroupNorm(use_swish=False,
                                impl=_fused_impl(self.fused_norm),

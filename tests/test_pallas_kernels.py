@@ -209,3 +209,28 @@ def test_unet_fused_norm_matches_reference_path():
     out_fused = fused.apply(params, x, t)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_unet_bf16stats_norm_close_to_reference_path():
+    """All-bf16 GN statistics (models/unet.py:LowPrecStatsGroupNorm): same
+    param tree, output within bf16 tolerance of the flax fp32-stats path."""
+    from pnpflow_tpu.models.unet import VelocityUNet
+
+    kw = dict(input_channels=3, input_height=32, ch=32, ch_mult=(1, 2),
+              num_res_blocks=1, attn_resolutions=(16,))
+    plain = VelocityUNet(**kw)
+    lp = VelocityUNet(fused_norm="bf16stats", dtype=jnp.bfloat16, **kw)
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 32, 32, 3)).astype(
+            np.float32
+        )
+    )
+    t = jnp.asarray([0.2, 0.8], dtype=jnp.float32)
+    params = plain.init(jax.random.PRNGKey(0), x, t)
+    params_l = lp.init(jax.random.PRNGKey(0), x, t)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_l))
+    ref = np.asarray(plain.apply(params, x, t))
+    got = np.asarray(lp.apply(params, x, t))
+    scale = np.abs(ref).max() + 1e-9
+    assert np.max(np.abs(got - ref)) / scale < 0.05
