@@ -225,4 +225,12 @@ def build_model_bundle(args, dtype=jnp.float32, params=None,
         def apply(p, x, t):
             return module.apply(p, x, t)
 
+    # ``--opts remat True``: rematerialize the model forward inside
+    # differentiated solver programs (d_flow's LBFGS-through-the-flow,
+    # ot_ode's model vjp, flow_priors' jvp) — trades one extra forward for
+    # not storing activations, the HBM lever for 256² NCSN++ backprop.
+    # Forward-only solvers (pnp_flow) are unaffected by jax.checkpoint.
+    if bool(getattr(args, "remat", False)):
+        apply = jax.checkpoint(apply)
+
     return ModelBundle(apply=apply, params=params, kind=kind)

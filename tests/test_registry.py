@@ -140,3 +140,36 @@ def test_load_torch_checkpoint_roundtrip(tmp_path):
     torch.save({"model_state_dict": sd, "optimizer_state_dict": {}}, p)
     out = load_torch_checkpoint(str(p))
     assert "a.bias" in out
+
+
+def test_remat_bundle_matches_and_differentiates(tmp_path):
+    """--opts remat True wraps the bundle apply in jax.checkpoint: same
+    outputs and same gradients as the plain bundle (memory-only change)."""
+    import jax
+    import warnings as _w
+
+    args = _args(tmp_path, dim=16)
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        plain = build_model_bundle(args)
+        args_r = _args(tmp_path, dim=16)
+        args_r.remat = True
+        remat = build_model_bundle(args_r, params=plain.params)
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 16, 16, 1)).astype(
+            np.float32
+        )
+    )
+    t = jnp.full((2,), 0.3)
+
+    def loss(bundle_apply, params):
+        return jnp.sum(bundle_apply(params, x, t) ** 2)
+
+    lp, gp = jax.value_and_grad(lambda p: loss(plain.apply, p))(plain.params)
+    lr, gr = jax.value_and_grad(lambda p: loss(remat.apply, p))(remat.params)
+    np.testing.assert_allclose(float(lp), float(lr), rtol=1e-6)
+    fp = jax.tree_util.tree_leaves(gp)[0]
+    fr = jax.tree_util.tree_leaves(gr)[0]
+    np.testing.assert_allclose(np.asarray(fp), np.asarray(fr), rtol=1e-5,
+                               atol=1e-7)
