@@ -65,7 +65,17 @@ def _write_inception_npz(root: str):
 
 
 def _run_cli(*opts):
-    import main as cli
+    # load THIS repo's main.py by path: the reference-parity tests put the
+    # mounted reference repo on sys.path, whose own main.py would win an
+    # ``import main`` in a shared pytest process
+    import importlib.util
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "pnpflow_tpu_cli_main", os.path.join(repo_root, "main.py")
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
 
     argv = ["main.py", "--opts"] + [str(o) for o in opts]
     old = sys.argv
