@@ -161,6 +161,50 @@ class DotStatsGroupNorm(nn.Module):
         return y.astype(x.dtype)
 
 
+class TViewStatsGroupNorm(nn.Module):
+    """GroupNorm(32, eps 1e-6) [+ swish] with the moment reduce taken over a
+    pre-transposed ``(b, g, hw*cg)`` view of the activations.
+
+    The device trace shows XLA holding the 64² conv activations batch-minor
+    (``{0,3,2,1}``: N on lanes) and streaming the GN convert+reduce at only
+    ~15% of HBM bandwidth (BASELINE.md).  Hypothesis under test: handing XLA
+    a view whose single reduction axis is the minor *logical* axis lets it
+    either fuse the relayout into the producing conv's epilogue or pick a
+    reduce-friendly layout.  Statistics accumulate in fp32 (one-pass
+    E[x²]−E[x]², matching flax); the normalize pass reads the original
+    (untransposed) tensor, so only the stats input is re-viewed.  Param
+    names/shapes match ``nn.GroupNorm`` so checkpoints convert either way.
+    """
+
+    use_swish: bool = True
+    groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        b, hh, ww, c = x.shape
+        g = self.groups
+        cg = c // g
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        hw = hh * ww
+        xt = jnp.transpose(x.reshape(b, hw, g, cg), (0, 2, 1, 3))
+        xt = xt.reshape(b, g, hw * cg)
+        s1 = jnp.sum(xt, axis=2, dtype=jnp.float32)        # (b, g)
+        s2 = jnp.sum(xt * xt, axis=2, dtype=jnp.float32)
+        inv_n = 1.0 / (hw * cg)
+        mean = s1 * inv_n
+        var = s2 * inv_n - mean * mean
+        inv = jax.lax.rsqrt(var + self.eps)
+        mean_c = jnp.repeat(mean, cg, axis=1)[:, None, None, :]
+        inv_c = jnp.repeat(inv, cg, axis=1)[:, None, None, :]
+        y = (x.astype(jnp.float32) - mean_c) * inv_c
+        y = y * scale + bias
+        if self.use_swish:
+            y = y * jax.nn.sigmoid(y)
+        return y.astype(x.dtype)
+
+
 class LowPrecStatsGroupNorm(nn.Module):
     """GroupNorm(32, eps 1e-6) [+ swish] with statistics accumulated
     ENTIRELY in the input dtype — no f32 convert feeding the reduce.
@@ -206,6 +250,8 @@ def norm_swish(x, name: str, norm_dtype=None, fused=False):
         return DotStatsGroupNorm(use_swish=True, name=name)(x)
     if fused == "bf16stats":
         return LowPrecStatsGroupNorm(use_swish=True, name=name)(x)
+    if fused == "tview":
+        return TViewStatsGroupNorm(use_swish=True, name=name)(x)
     if fused:
         return FusedGroupNorm(use_swish=True, impl=_fused_impl(fused),
                               name=name)(x)
@@ -266,6 +312,8 @@ class SelfAttention(nn.Module):
             h = DotStatsGroupNorm(use_swish=False, name="norm")(x)
         elif self.fused_norm == "bf16stats":
             h = LowPrecStatsGroupNorm(use_swish=False, name="norm")(x)
+        elif self.fused_norm == "tview":
+            h = TViewStatsGroupNorm(use_swish=False, name="norm")(x)
         elif self.fused_norm:
             h = FusedGroupNorm(use_swish=False,
                                impl=_fused_impl(self.fused_norm),

@@ -234,3 +234,28 @@ def test_unet_bf16stats_norm_close_to_reference_path():
     got = np.asarray(lp.apply(params, x, t))
     scale = np.abs(ref).max() + 1e-9
     assert np.max(np.abs(got - ref)) / scale < 0.05
+
+
+def test_unet_tview_stats_norm_matches_reference_path():
+    """Transposed-view GN statistics (models/unet.py:TViewStatsGroupNorm):
+    same param tree, numerically equivalent to the flax GroupNorm path."""
+    from pnpflow_tpu.models.unet import VelocityUNet
+
+    kw = dict(input_channels=3, input_height=32, ch=32, ch_mult=(1, 2),
+              num_res_blocks=1, attn_resolutions=(16,))
+    plain = VelocityUNet(**kw)
+    tv = VelocityUNet(fused_norm="tview", **kw)
+    x = jnp.asarray(
+        np.random.default_rng(11).normal(size=(2, 32, 32, 3)).astype(
+            np.float32
+        )
+    )
+    t = jnp.asarray([0.2, 0.8], dtype=jnp.float32)
+    params = plain.init(jax.random.PRNGKey(0), x, t)
+    params_t = tv.init(jax.random.PRNGKey(0), x, t)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_t))
+    np.testing.assert_allclose(
+        np.asarray(tv.apply(params, x, t)),
+        np.asarray(plain.apply(params, x, t)), rtol=5e-5, atol=5e-5,
+    )
