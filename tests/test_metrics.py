@@ -10,6 +10,7 @@ from pnpflow_tpu.metrics.generative import (
     activation_statistics,
     fid_from_features,
     frechet_distance,
+    kid_from_features,
     sliced_wasserstein,
     vendi_score,
 )
@@ -30,6 +31,42 @@ def test_fid_shifted_gaussians_matches_closed_form():
     b = rng.normal(size=(20000, 4)).astype(np.float32) + shift
     fid = fid_from_features(a, b)
     assert abs(fid - float((shift**2).sum())) < 0.1
+
+
+def test_kid_matches_numpy_mmd():
+    """Single-block KID vs an independent numpy unbiased-MMD² with tfgan's
+    polynomial kernel (x·y/d + 1)³ (reference vendored
+    evaluation.py:224-259 computes the same estimator via tfgan)."""
+    rng = np.random.default_rng(3)
+    fx = rng.normal(size=(64, 8)).astype(np.float32)
+    fy = (rng.normal(size=(48, 8)) + 0.4).astype(np.float32)
+    kid, std = kid_from_features(fx, fy)
+
+    d = fx.shape[1]
+    kxx = (fx @ fx.T / d + 1.0) ** 3
+    kyy = (fy @ fy.T / d + 1.0) ** 3
+    kxy = (fx @ fy.T / d + 1.0) ** 3
+    m, n = len(fx), len(fy)
+    want = ((kxx.sum() - np.trace(kxx)) / (m * (m - 1))
+            + (kyy.sum() - np.trace(kyy)) / (n * (n - 1))
+            - 2.0 * kxy.mean())
+    assert abs(kid - want) < 1e-4 * abs(want)
+    assert std == 0.0  # one block
+
+
+def test_kid_identical_near_zero_shifted_positive():
+    rng = np.random.default_rng(4)
+    f = rng.normal(size=(512, 16)).astype(np.float32)
+    kid_same, _ = kid_from_features(f, f.copy())
+    g = f + 1.0
+    kid_diff, _ = kid_from_features(f, g)
+    # identical sets: small (estimator noise only); shifted: large
+    assert abs(kid_same) < 0.1
+    assert kid_diff > 10 * abs(kid_same)
+    # blocked estimator path (n_blocks > 1) stays finite and positive
+    kid_b, std_b = kid_from_features(f, g, max_block_size=128)
+    assert np.isfinite(kid_b) and np.isfinite(std_b)
+    assert abs(kid_b - kid_diff) < 0.5 * kid_diff + 1e-6
 
 
 def test_frechet_distance_vs_scipy_direct():

@@ -138,6 +138,8 @@ def test_cli_compute_metrics_inception_2048(tmp_path):
     toks = line.split()
     assert toks[toks.index("features") + 1] == "inception_2048"
     fid = float(toks[toks.index("FID") + 1])
+    kid = float(toks[toks.index("KID") + 1])
+    assert np.isfinite(kid)
     vendi = float(toks[toks.index("Vendi") + 1])
     sw = float(toks[toks.index("SW") + 1])
     assert np.isfinite(fid) and fid >= 0
