@@ -73,8 +73,27 @@ def fid_from_features(feat1, feat2) -> float:
 # (image_generation/evaluation.py:224-259, "kernel_inception_distance"); we
 # compute the same estimator natively on device: the block-averaged unbiased
 # MMD² with tfgan's default polynomial kernel k(x,y) = (x·y/d + 1)³.
-# (Inception Score from the same pipeline needs the 1008-way logits head the
-# FID network port does not carry — gated on those weights, like LPIPS.)
+def inception_score(probs, splits: int = 10):
+    """(mean, std) Inception Score from (N, K) class probabilities.
+
+    tfgan's estimator (the reference's IS path, image_generation/
+    evaluation.py:25,120-145): split the sample set into ``splits``
+    near-equal groups, per group score = exp(E_x KL(p(y|x) || p(y))),
+    report mean/std over groups."""
+    p = np.asarray(probs, np.float64)
+    n = p.shape[0]
+    scores = []
+    for i in range(splits):
+        part = p[i * n // splits : (i + 1) * n // splits]
+        if len(part) == 0:
+            continue
+        py = part.mean(axis=0, keepdims=True)
+        kl = np.sum(part * (np.log(part + 1e-16) - np.log(py + 1e-16)),
+                    axis=1)
+        scores.append(np.exp(np.mean(kl)))
+    scores = np.asarray(scores)
+    std = scores.std(ddof=1) if len(scores) > 1 else 0.0
+    return float(scores.mean()), float(std)
 
 
 def _mmd2_unbiased(fx, fy):
@@ -185,11 +204,12 @@ class ComputeMetric:
             self.mesh = make_mesh()
 
     def _feature_fn(self):
-        from pnpflow_tpu.models.inception import get_inception_feature_fn
+        """(feature_fn, outputs_fn_or_None, feature-space name)."""
+        from pnpflow_tpu.models.inception import get_inception_fns
 
-        fn = get_inception_feature_fn(self.args)
-        if fn is not None:
-            return fn, "inception_2048"
+        fns = get_inception_fns(self.args)
+        if fns is not None:
+            return fns[0], fns[1], "inception_2048"
         import warnings
 
         warnings.warn(
@@ -204,7 +224,7 @@ class ComputeMetric:
             )
             return small.reshape(b, -1)
 
-        return pixel_features, "pixels_32"
+        return pixel_features, None, "pixels_32"
 
     def _sample_batch(self, key, batch: int, steps: int,
                       sampler: str | None = None):
@@ -235,7 +255,7 @@ class ComputeMetric:
     def compute_metrics(self, n: int, steps: int = 100,
                         sampler: str | None = None):
         args = self.args
-        feature_fn, feat_name = self._feature_fn()
+        feature_fn, outputs_fn, feat_name = self._feature_fn()
 
         # sampling/extraction batch: the reference's 50, rounded to a
         # multiple of the device count so the mesh shard path engages,
@@ -261,16 +281,27 @@ class ComputeMetric:
         # generated features via the flow ODE (dopri5 by default, the
         # reference's metric sampler)
         gen_feats = []
+        gen_probs = []
         key = jax.random.PRNGKey(int(getattr(args, "seed", 0) or 0))
         for _ in range((n + batch - 1) // batch):
             key, sub = jax.random.split(key)
             samples = self._sample_batch(sub, batch, steps, sampler)
             s01 = jnp.clip((samples + 1.0) / 2.0, 0.0, 1.0)
-            gen_feats.append(np.asarray(feature_fn(s01)))
+            if outputs_fn is not None:
+                f, p = outputs_fn(s01)
+                gen_feats.append(np.asarray(f))
+                gen_probs.append(np.asarray(p))
+            else:
+                gen_feats.append(np.asarray(feature_fn(s01)))
         feat_gen = np.concatenate(gen_feats, axis=0)[:n]
 
         fid = fid_from_features(feat_test, feat_gen)
         kid, kid_std = kid_from_features(feat_test, feat_gen)
+        is_mean = is_std = None
+        if gen_probs:
+            is_mean, is_std = inception_score(
+                np.concatenate(gen_probs, axis=0)[:n]
+            )
         vendi = float(
             vendi_score(jnp.asarray(feat_gen[: min(2048, len(feat_gen))]))
         )
@@ -288,9 +319,16 @@ class ComputeMetric:
         )
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "metrics.txt"), "a") as f:
-            f.write(
-                "n {} features {} FID {} KID {} KID_std {} Vendi {} SW {}\n"
+            line = (
+                "n {} features {} FID {} KID {} KID_std {} Vendi {} SW {}"
                 .format(n, feat_name, fid, kid, kid_std, vendi, sw)
             )
-        return {"fid": fid, "kid": kid, "kid_std": kid_std,
-                "vendi": vendi, "sw": sw}
+            if is_mean is not None:
+                line += " IS {} IS_std {}".format(is_mean, is_std)
+            f.write(line + "\n")
+        out = {"fid": fid, "kid": kid, "kid_std": kid_std,
+               "vendi": vendi, "sw": sw}
+        if is_mean is not None:
+            out["is"] = is_mean
+            out["is_std"] = is_std
+        return out

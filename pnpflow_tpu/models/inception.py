@@ -168,6 +168,18 @@ def inception_pool3(params, x01: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(x, axis=(1, 2))
 
 
+def inception_logits(params, pool3: jnp.ndarray) -> jnp.ndarray:
+    """1008-way classifier logits from pool3 features.
+
+    The published ``pt_inception-2015-12-05`` checkpoint carries the
+    1008-class fc head (torchvision ``fc``); the reference's IS path
+    (pnpflow/image_generation/evaluation.py:25,120-145) reads the same
+    'logits' output of that graph.  Requires an npz converted with the
+    fc head (inception_convert emits it when present)."""
+    fc = params["fc"]
+    return pool3 @ fc["w"] + fc["b"]
+
+
 def load_inception_params(path: str):
     """Load converted npz (flat 'block/leaf' keys) into the nested dict."""
     flat = np.load(path)
@@ -188,6 +200,18 @@ def get_inception_feature_fn(args, batch: int = 50):
     Multi-device: each sub-batch is sharded over the mesh 'data' axis — the
     TPU-native equivalent of the reference's per-device Inception fan-out
     (image_generation/evaluation.py:106-146)."""
+    fns = get_inception_fns(args, batch)
+    return None if fns is None else fns[0]
+
+
+def get_inception_fns(args, batch: int = 50):
+    """(feature_fn, outputs_fn) pair, or None when the converted weight
+    file is missing.  ``feature_fn`` maps (N, H, W, C)[0,1] -> (N, 2048)
+    pool3 features; ``outputs_fn`` maps the same input to (features,
+    (N, 1008) softmax class probabilities) in ONE forward — the two heads
+    the reference's TF graph exposes as 'pool_3'/'logits'
+    (image_generation/evaluation.py:25-26,120-145) — and is None when the
+    npz predates the fc-head conversion."""
     path = os.path.join(args.output_root, "model", "inception_fid.npz")
     if not os.path.exists(path):
         return None
@@ -196,17 +220,36 @@ def get_inception_feature_fn(args, batch: int = 50):
 
         params = load_inception_params(path)
         fwd = jax.jit(lambda x: inception_pool3(params, x))
+        has_fc = "fc" in params
+        both = jax.jit(
+            lambda x: (
+                lambda p3: (p3, jax.nn.softmax(inception_logits(params, p3)))
+            )(inception_pool3(params, x))
+        ) if has_fc else None
         mesh = make_mesh() if len(jax.devices()) > 1 else None
 
-        def feature_fn(x01):
-            outs = []
+        def _chunked(fn, n_out, x01):
+            outs = [[] for _ in range(n_out)]
             n_dev = len(jax.devices())
             for i in range(0, x01.shape[0], batch):
                 chunk = x01[i : i + batch]
                 if mesh is not None and chunk.shape[0] % n_dev == 0:
                     chunk = shard_batch(np.asarray(chunk), mesh)
-                outs.append(fwd(chunk))
-            return jnp.concatenate(outs, axis=0)
+                res = fn(chunk)
+                if n_out == 1:
+                    res = (res,)
+                for o, r in zip(outs, res):
+                    o.append(r)
+            cat = tuple(jnp.concatenate(o, axis=0) for o in outs)
+            return cat[0] if n_out == 1 else cat
 
-        _CACHE[path] = feature_fn
+        def feature_fn(x01):
+            return _chunked(fwd, 1, x01)
+
+        outputs_fn = None
+        if has_fc:
+            def outputs_fn(x01):  # noqa: F811 — the gated definition
+                return _chunked(both, 2, x01)
+
+        _CACHE[path] = (feature_fn, outputs_fn)
     return _CACHE[path]

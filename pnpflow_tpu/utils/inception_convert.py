@@ -96,6 +96,13 @@ def convert_inception_state_dict(sd) -> dict:
                 prefix = "{}.{}".format(torch_top, torch_branch)
                 for leaf, val in _conv_bn(sd, prefix).items():
                     flat["{}/{}/{}".format(block, sub, leaf)] = val
+    # 1008-way classifier head (present in pt_inception-2015-12-05;
+    # powers Inception Score — models/inception.inception_logits)
+    if "fc.weight" in sd:
+        flat["fc/w"] = np.transpose(
+            np.asarray(sd["fc.weight"], np.float32), (1, 0)
+        )
+        flat["fc/b"] = np.asarray(sd["fc.bias"], np.float32)
     return flat
 
 

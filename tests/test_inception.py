@@ -99,6 +99,9 @@ def synthetic_state_dict(seed=0):
         sd[prefix + ".bn.bias"] = np.zeros(cout, np.float32)
         sd[prefix + ".bn.running_mean"] = np.zeros(cout, np.float32)
         sd[prefix + ".bn.running_var"] = np.ones(cout, np.float32)
+    # 1008-way classifier head carried by pt_inception-2015-12-05
+    sd["fc.weight"] = rng.normal(size=(1008, 2048)).astype(np.float32) * 0.02
+    sd["fc.bias"] = np.zeros(1008, np.float32)
     return sd
 
 
@@ -118,6 +121,26 @@ def test_convert_and_forward():
     feats = inception_pool3(tree, x)
     assert feats.shape == (2, 2048)
     assert bool(jnp.isfinite(feats).all())
+
+
+def test_logits_head_matches_numpy_fc():
+    from pnpflow_tpu.models.inception import inception_logits
+
+    sd = synthetic_state_dict()
+    flat = convert_inception_state_dict(sd)
+    tree = {}
+    for key, val in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(val)
+
+    p3 = np.random.default_rng(3).normal(size=(4, 2048)).astype(np.float32)
+    got = np.asarray(inception_logits(tree, jnp.asarray(p3)))
+    want = p3 @ sd["fc.weight"].T + sd["fc.bias"]
+    assert got.shape == (4, 1008)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
 def test_grayscale_input_tiled():

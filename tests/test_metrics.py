@@ -10,6 +10,7 @@ from pnpflow_tpu.metrics.generative import (
     activation_statistics,
     fid_from_features,
     frechet_distance,
+    inception_score,
     kid_from_features,
     sliced_wasserstein,
     vendi_score,
@@ -67,6 +68,26 @@ def test_kid_identical_near_zero_shifted_positive():
     kid_b, std_b = kid_from_features(f, g, max_block_size=128)
     assert np.isfinite(kid_b) and np.isfinite(std_b)
     assert abs(kid_b - kid_diff) < 0.5 * kid_diff + 1e-6
+
+
+def test_inception_score_closed_forms():
+    """Uniform p(y|x) -> IS = 1; K distinct one-hot classes used uniformly
+    -> IS = K (both exact closed forms of exp(E KL(p(y|x)||p(y))))."""
+    k = 16
+    uniform = np.full((200, k), 1.0 / k)
+    mean, std = inception_score(uniform, splits=4)
+    assert abs(mean - 1.0) < 1e-6 and std < 1e-6
+
+    eye = np.eye(k)
+    onehot = eye[np.arange(320) % k]  # every split sees all K classes
+    mean, std = inception_score(onehot, splits=4)
+    assert abs(mean - k) < 1e-3
+
+    # mean/std over splits: a mixed set gives finite positive values
+    rng = np.random.default_rng(0)
+    p = rng.dirichlet(np.ones(k), size=500)
+    mean, std = inception_score(p, splits=10)
+    assert 1.0 <= mean <= k and std >= 0.0
 
 
 def test_frechet_distance_vs_scipy_direct():
@@ -271,13 +292,13 @@ def test_compute_metric_chunked_dopri5_and_mesh_batch(tmp_path):
     orig_feature_fn = cm._feature_fn
 
     def spying_feature_fn():
-        fn, name = orig_feature_fn()
+        fn, outputs_fn, name = orig_feature_fn()
 
         def spy(x01):
             seen_chunks.append(int(x01.shape[0]))
             return fn(x01)
 
-        return spy, name
+        return spy, outputs_fn, name
 
     cm._feature_fn = spying_feature_fn
     n = 24

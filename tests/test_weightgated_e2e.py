@@ -145,3 +145,6 @@ def test_cli_compute_metrics_inception_2048(tmp_path):
     assert np.isfinite(fid) and fid >= 0
     assert np.isfinite(vendi) and vendi >= 1.0 - 1e-6
     assert np.isfinite(sw) and sw >= 0
+    # the fc head rode through the converter -> Inception Score emitted
+    is_mean = float(toks[toks.index("IS") + 1])
+    assert np.isfinite(is_mean) and is_mean >= 1.0 - 1e-4
