@@ -233,4 +233,13 @@ def build_model_bundle(args, dtype=jnp.float32, params=None,
     if bool(getattr(args, "remat", False)):
         apply = jax.checkpoint(apply)
 
+    # Commit the weights to the default (accelerator) device ONCE.
+    # init/load happen on the host CPU backend; a CPU-committed pytree
+    # passed into a jitted solver is re-streamed host->device on EVERY
+    # dispatch (~250 MB/call for the 256² NCSN++ — through the remote-TPU
+    # tunnel this dominated whole benchmarks at ~0.5 s per call).
+    dev = jax.devices()[0]
+    if dev.platform != "cpu":
+        params = jax.device_put(params, dev)
+
     return ModelBundle(apply=apply, params=params, kind=kind)

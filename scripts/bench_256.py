@@ -44,6 +44,12 @@ def main():
         params = model.init(
             jax.random.PRNGKey(0), jnp.asarray(x0), jnp.full((1,), 500.0)
         )
+    # CRITICAL through the tunnel: commit the params to the TPU ONCE.
+    # CPU-committed params are re-streamed host->device on EVERY dispatch
+    # (~250 MB of weights), which dominated all earlier 256² numbers —
+    # wall ~0.5 s/step at every batch while device-busy was ~59 ms/step.
+    params = jax.device_put(params, jax.devices()[0])
+    jax.block_until_ready(params)
 
     # the rectified backend scales t by 999 (models/registry.py:136-143)
     def apply(p, x, t):
@@ -59,10 +65,17 @@ def main():
 
     rng = np.random.default_rng(0)
     clean = jnp.asarray(rng.normal(size=(B, DIM, DIM, 3)), jnp.float32)
-    y = deg.H(clean) + 0.05 * jnp.asarray(
-        rng.normal(size=(B, DIM, DIM, 3)), jnp.float32
-    )
-    x_init = deg.H_adj(jnp.ones_like(y))
+    noise = jnp.asarray(rng.normal(size=(B, DIM, DIM, 3)), jnp.float32)
+
+    # measurement prep must be JITTED: eager fft2 at 256² is Unimplemented
+    # on the tunneled TPU backend (fails asynchronously — the error only
+    # surfaces at the next host read, here the warmup's jnp.mean)
+    @jax.jit
+    def prep(c, n):
+        y = deg.H(c) + 0.05 * n
+        return y, deg.H_adj(jnp.ones_like(y))
+
+    y, x_init = prep(clean, noise)
     key = jax.random.PRNGKey(0)
 
     # warmup/compile, then time chained reps.  Force device->host reads:
