@@ -233,13 +233,15 @@ def build_model_bundle(args, dtype=jnp.float32, params=None,
     if bool(getattr(args, "remat", False)):
         apply = jax.checkpoint(apply)
 
-    # Commit the weights to the default (accelerator) device ONCE.
-    # init/load happen on the host CPU backend; a CPU-committed pytree
-    # passed into a jitted solver is re-streamed host->device on EVERY
-    # dispatch (~250 MB/call for the 256² NCSN++ — through the remote-TPU
-    # tunnel this dominated whole benchmarks at ~0.5 s per call).
+    # Commit the weights to the default (accelerator) device ONCE — and as
+    # a device-CREATED pytree, not a host-committed one: on the remoted TPU
+    # backend, device_put output passed as a jit argument is re-streamed
+    # host->device on EVERY dispatch (~0.9 s/call for the 256² NCSN++'s
+    # 250 MB params; ~33 ms once laundered — scripts/probe_call_overhead.py).
     dev = jax.devices()[0]
     if dev.platform != "cpu":
-        params = jax.device_put(params, dev)
+        from pnpflow_tpu.utils.jax_setup import commit_tree
+
+        params = commit_tree(params, dev)
 
     return ModelBundle(apply=apply, params=params, kind=kind)

@@ -113,4 +113,14 @@ def shard_batch(x, mesh: Mesh):
 
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)
+    tree = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, sharding), tree
+    )
+    # Re-create the buffers ON device (jit identity preserves the input
+    # sharding): on remoted PJRT backends, device_put-committed arrays
+    # passed as jit arguments are re-streamed host->device on every
+    # Execute (~0.9 s/call for a 250 MB pytree — see
+    # utils/jax_setup.py:commit_tree and scripts/probe_call_overhead.py).
+    # Weights are replicated once and reused across many calls, so they
+    # must be device-created.
+    return jax.jit(lambda t: t)(tree)

@@ -28,3 +28,22 @@ def setup(cache_dir: str | None = None):
 
 
 setup()
+
+
+def commit_tree(tree, device=None):
+    """Return a device-CREATED copy of ``tree`` on ``device``.
+
+    ``jax.device_put`` alone is not enough on remoted PJRT backends (the
+    tunneled TPU): a host-committed array passed as a jit argument is
+    re-streamed host->device on EVERY Execute — measured at ~0.9 s/call
+    for the 256² NCSN++'s 250 MB param pytree vs ~33 ms once the same
+    pytree is re-created ON the device by running it through a jitted
+    identity (scripts/probe_call_overhead.py).  On local runtimes the
+    extra on-device copy is a one-off no-op-grade cost.
+    """
+    device = device or jax.devices()[0]
+    tree = jax.device_put(tree, device)
+    with jax.default_device(device):
+        tree = jax.jit(lambda t: t)(tree)
+    jax.block_until_ready(tree)
+    return tree

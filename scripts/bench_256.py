@@ -44,12 +44,13 @@ def main():
         params = model.init(
             jax.random.PRNGKey(0), jnp.asarray(x0), jnp.full((1,), 500.0)
         )
-    # CRITICAL through the tunnel: commit the params to the TPU ONCE.
-    # CPU-committed params are re-streamed host->device on EVERY dispatch
-    # (~250 MB of weights), which dominated all earlier 256² numbers —
-    # wall ~0.5 s/step at every batch while device-busy was ~59 ms/step.
-    params = jax.device_put(params, jax.devices()[0])
-    jax.block_until_ready(params)
+    # CRITICAL through the tunnel: params must be device-CREATED, not just
+    # device_put-committed — host-committed pytrees are re-streamed
+    # host->device on EVERY Execute (~0.9 s/call for these 250 MB of
+    # weights; ~33 ms once laundered — scripts/probe_call_overhead.py).
+    from pnpflow_tpu.utils.jax_setup import commit_tree
+
+    params = commit_tree(params)
 
     # the rectified backend scales t by 999 (models/registry.py:136-143)
     def apply(p, x, t):
@@ -78,28 +79,42 @@ def main():
     y, x_init = prep(clean, noise)
     key = jax.random.PRNGKey(0)
 
-    # warmup/compile, then time chained reps.  Force device->host reads:
-    # on a tunneled TPU, block_until_ready alone can return early (same
-    # methodology as bench.py), which made earlier per-call numbers
-    # untrustworthy in both directions.
-    out = solve(params, y, x_init, key, jnp.int32(0), STEPS)
-    float(jnp.mean(out))
-
+    # Timing hygiene through the tunnel (each rule measured to matter):
+    #  * NO eager ops inside the timed region — an eager fold_in/mean is a
+    #    remote round-trip costing seconds; precompute keys and jit the
+    #    sync reduce.
+    #  * force a device->host READ for the sync: block_until_ready alone
+    #    can return early on this backend.
     reps = int(os.environ.get("REPS256", 3))
-    t0 = time.perf_counter()
-    for r in range(reps):
-        # data dependency chains the reps so they serialize
-        out = solve(params, y, out, jax.random.fold_in(key, r),
-                    jnp.int32(0), STEPS)
-    float(jnp.mean(out))
-    dt = (time.perf_counter() - t0) / reps
+    keys = [jax.random.fold_in(key, r) for r in range(reps + 1)]
+    reduce = jax.jit(jnp.mean)
+    zero = jnp.int32(0)
 
-    per_step = dt / STEPS
+    def timed(n_steps, seed_off):
+        out = solve(params, y, x_init, keys[0], zero, n_steps)  # warm/compile
+        float(reduce(out))
+        t0 = time.perf_counter()
+        for r in range(reps):
+            # data dependency chains the reps so they serialize
+            out = solve(params, y, out, keys[r + 1], zero, n_steps)
+        float(reduce(out))
+        return (time.perf_counter() - t0) / reps
+
+    # Two-point fit: per-step device time = slope between a SHORT and a
+    # LONG call, so any fixed per-dispatch cost (tunnel Execute latency)
+    # drops out of the reported number.
+    lo, hi = STEPS, 4 * STEPS
+    t_lo = timed(lo, 0)
+    t_hi = timed(hi, reps)
+    per_step = (t_hi - t_lo) / (hi - lo)
+    overhead = t_lo - per_step * lo
+
     full_protocol = per_step * 100  # the shipped config runs 100 steps
     print(json.dumps({
         "probe": "pnp_flow_ncsnpp256_deblur_bf16",
-        "batch": B, "mc_samples": MC, "steps_timed": STEPS,
+        "batch": B, "mc_samples": MC, "steps_lo_hi": [lo, hi],
         "sec_per_step": round(per_step, 4),
+        "per_call_overhead_sec": round(overhead, 4),
         "images_per_sec_100step_protocol": round(B / full_protocol, 3),
     }), flush=True)
 

@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Per-method wall-time/memory protocol on TPU — the reference's
+# scripts/script_compute_time.sh (celeba 128², gaussian_deblurring_FFT,
+# batch 4, per-method tuned params) run through this framework's CLI.
+#
+# The celeba files are not mountable in this environment, so the runnable
+# stand-in is the synthetic dataset at the same 128² geometry — timing is
+# architecture/protocol-dependent, not weight/data-dependent.  Tuned
+# hyperparameters per method are the reference's deblurring values
+# (script_compute_time.sh:1-22, script_test.sh:12,29,45,62,80,93).
+#
+# MAXB (default 3) bounds batches for tunnel runs; the reference uses 25.
+
+set -e
+cd "$(dirname "$0")/.."
+
+dataset=${DATASET:-synthetic}
+dim=${DIM:-128}
+maxb=${MAXB:-3}
+common="dataset ${dataset} dim_image ${dim} eval True eval_split test \
+problem gaussian_deblurring_FFT max_batch ${maxb} \
+compute_time True compute_memory True save_results False"
+
+run() { echo "== $*"; python main.py --opts $common "$@"; }
+
+run model ot method pnp_flow lr_pnp 1.0 alpha 0.01 num_samples 5 \
+    steps_pnp 100 batch_size_ip 4
+run model ot method ot_ode start_time 0.4 gamma gamma_t batch_size_ip 4
+run model ot method flow_priors eta 0.01 lmbda 10000 batch_size_ip 4
+run model ot method d_flow lmbda 0.001 alpha 0.1 max_iter 7 batch_size_ip 2
+run model gradient_step method pnp_gs lr_pnp 2.0 alpha 0.5 algo pgd \
+    max_iter 35 sigma_factor 1.8 batch_size_ip 4
+run model diffusion method pnp_diff lmbda 1000.0 zeta 1.0 batch_size_ip 4

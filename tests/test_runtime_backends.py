@@ -172,3 +172,27 @@ def test_trainer_orbax_backend_resume(tmp_path):
 
 
 import jax  # noqa: E402  (used by tree_map above)
+
+
+def test_commit_tree_preserves_values_and_structure():
+    """commit_tree returns a device-created copy, bit-identical, same tree.
+
+    The laundering matters only on remoted TPU backends (see
+    utils/jax_setup.py:commit_tree); on CPU it must still be a faithful
+    identity so the call is safe everywhere build_model_bundle runs.
+    """
+    from pnpflow_tpu.utils.jax_setup import commit_tree
+
+    tree = {
+        "w": np.arange(12, dtype=np.float32).reshape(3, 4),
+        "nested": {"b": jnp.ones((5,), jnp.bfloat16), "s": np.float32(2.5)},
+    }
+    out = commit_tree(tree)
+    assert set(out) == {"w", "nested"}
+    np.testing.assert_array_equal(np.asarray(out["w"]), tree["w"])
+    np.testing.assert_array_equal(
+        np.asarray(out["nested"]["b"], np.float32), np.ones((5,), np.float32)
+    )
+    assert float(out["nested"]["s"]) == 2.5
+    # outputs are jax Arrays resident on the default device
+    assert out["w"].devices() == {jax.devices()[0]}
