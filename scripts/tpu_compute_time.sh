@@ -17,11 +17,14 @@ cd "$(dirname "$0")/.."
 dataset=${DATASET:-synthetic}
 dim=${DIM:-128}
 maxb=${MAXB:-3}
+# EXTRA: trailing --opts appended after the per-method flags (later keys win
+# in the merge), e.g. EXTRA="steps_pnp 2 num_samples 1" for smoke runs.
+extra=${EXTRA:-}
 common="dataset ${dataset} dim_image ${dim} eval True eval_split test \
 problem gaussian_deblurring_FFT max_batch ${maxb} \
 compute_time True compute_memory True save_results False"
 
-run() { echo "== $*"; python main.py --opts $common "$@"; }
+run() { echo "== $*"; python main.py --opts $common "$@" $extra; }
 
 run model ot method pnp_flow lr_pnp 1.0 alpha 0.01 num_samples 5 \
     steps_pnp 100 batch_size_ip 4
