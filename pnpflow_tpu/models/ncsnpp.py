@@ -243,6 +243,50 @@ class ResnetBlockBigGAN(nn.Module):
         return out / math.sqrt(2.0) if self.skip_rescale else out
 
 
+class ResnetBlockDDPM(nn.Module):
+    """DDPM residual block, ``resblock_type='ddpm'`` (layerspp.py:166-209).
+
+    No in-block resampling: level transitions under this block type use
+    standalone ``Upsample``/``Downsample`` modules (reference
+    ncsnpp.py:158-159, 218-219).  Channel-changing shortcut is a NIN (the
+    reference NCSNpp never passes ``conv_shortcut=True``, ncsnpp.py:115-121).
+    """
+
+    out_ch: int | None = None
+    conv_shortcut: bool = False
+    dropout: float = 0.0
+    skip_rescale: bool = True
+    init_scale: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None, deterministic: bool = True):
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch or in_ch
+        h = nn.swish(_gn(in_ch, "GroupNorm_0", self.dtype)(x))
+        h = conv3x3(out_ch, "Conv_0", dtype=self.dtype)(h)
+        if temb is not None:
+            h = h + nn.Dense(
+                out_ch, kernel_init=vs_init(),
+                bias_init=nn.initializers.zeros, dtype=self.dtype,
+                name="Dense_0",
+            )(nn.swish(temb))[:, None, None, :]
+        h = nn.swish(_gn(out_ch, "GroupNorm_1", self.dtype)(h))
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = conv3x3(out_ch, "Conv_1", init_scale=self.init_scale,
+                    dtype=self.dtype)(h)
+        if in_ch != out_ch:
+            if self.conv_shortcut:
+                x = conv3x3(out_ch, "Conv_2", dtype=self.dtype)(x)
+            else:
+                x = NIN(out_ch, dtype=self.dtype, name="NIN_0")(x)
+        out = x + h
+        # math.sqrt gives a weak-typed python float: np.float64 scalars
+        # promote bf16 activations to fp32 (jax promotion rules)
+        return out / math.sqrt(2.0) if self.skip_rescale else out
+
+
 class Combine(nn.Module):
     """Progressive-input combiner (layerspp.py:44-58)."""
 
@@ -297,7 +341,19 @@ class NCSNpp(nn.Module):
             counter[0] += 1
             return name
 
+        ddpm_blocks = self.resblock_type == "ddpm"
+
         def res_block(h, temb, out_ch=None, up=False, down=False):
+            if ddpm_blocks:
+                # level transitions are standalone resample modules under
+                # 'ddpm' (reference ncsnpp.py:158-159, 218-219)
+                assert not (up or down)
+                return ResnetBlockDDPM(
+                    out_ch=out_ch, dropout=self.dropout,
+                    skip_rescale=self.skip_rescale,
+                    init_scale=self.init_scale, dtype=self.dtype,
+                    name=next_name(),
+                )(h, temb, deterministic)
             return ResnetBlockBigGAN(
                 out_ch=out_ch, up=up, down=down, dropout=self.dropout,
                 fir=self.fir, fir_kernel=fk, skip_rescale=self.skip_rescale,
@@ -349,7 +405,13 @@ class NCSNpp(nn.Module):
                     h = attn_block(h)
                 hs.append(h)
             if i_level != num_resolutions - 1:
-                h = res_block(hs[-1], temb, down=True)
+                if ddpm_blocks:
+                    h = Downsample(
+                        with_conv=self.resamp_with_conv, fir=self.fir,
+                        fir_kernel=fk, dtype=self.dtype, name=next_name(),
+                    )(hs[-1])
+                else:
+                    h = res_block(hs[-1], temb, down=True)
                 if self.progressive_input == "input_skip":
                     input_pyramid = downsample_2d(input_pyramid, fk, factor=2)
                     h = Combine(
@@ -398,7 +460,13 @@ class NCSNpp(nn.Module):
                         pyramid = pyramid + p
 
             if i_level != 0:
-                h = res_block(h, temb, up=True)
+                if ddpm_blocks:
+                    h = Upsample(
+                        with_conv=self.resamp_with_conv, fir=self.fir,
+                        fir_kernel=fk, dtype=self.dtype, name=next_name(),
+                    )(h)
+                else:
+                    h = res_block(h, temb, up=True)
 
         assert not hs
 
@@ -428,15 +496,10 @@ def make_ncsnpp(args, dtype=jnp.float32) -> NCSNpp:
 
 def make_ncsnpp_from_config(config, dtype=jnp.float32) -> NCSNpp:
     """Build NCSN++ from a reference-shaped config tree (model.* keys of
-    the shipped RF configs, e.g. config/rf_configs.py).  Only the
-    'biggan' resblock type is implemented — every shipped RF config uses
-    it (configs/rectified_flow/*.py)."""
+    the shipped RF configs, e.g. config/rf_configs.py).  Both resblock
+    types are supported: 'biggan' (every shipped RF config) and 'ddpm'
+    (reference layerspp.py:166-209 + ncsnpp.py:115-121)."""
     m, d = config.model, config.data
-    if getattr(m, "resblock_type", "biggan") != "biggan":
-        raise NotImplementedError(
-            "resblock_type={} (only 'biggan' is used by the shipped RF "
-            "configs)".format(m.resblock_type)
-        )
     return NCSNpp(
         image_size=d.image_size,
         num_channels=d.num_channels,
@@ -450,6 +513,7 @@ def make_ncsnpp_from_config(config, dtype=jnp.float32) -> NCSNpp:
         fir=m.fir,
         fir_kernel=tuple(m.fir_kernel),
         skip_rescale=m.skip_rescale,
+        resblock_type=getattr(m, "resblock_type", "biggan"),
         progressive=m.progressive,
         progressive_input=m.progressive_input,
         progressive_combine=m.progressive_combine,

@@ -507,7 +507,7 @@ def test_unet_forward_matches_reference_flagship(ref):
 
 
 def _ncsnpp_parity(ref, *, image_size, nf, ch_mult, num_res_blocks,
-                   attn_resolutions, tol):
+                   attn_resolutions, tol, **model_overrides):
     from pnpflow_tpu.models.ncsnpp import NCSNpp
     from pnpflow_tpu.utils.ncsnpp_convert import convert_ncsnpp_state_dict
 
@@ -517,6 +517,8 @@ def _ncsnpp_parity(ref, *, image_size, nf, ch_mult, num_res_blocks,
     config.model.ch_mult = ch_mult
     config.model.num_res_blocks = num_res_blocks
     config.model.attn_resolutions = attn_resolutions
+    for k, v in model_overrides.items():
+        setattr(config.model, k, v)
 
     torch.manual_seed(0)
     theirs = ref.ncsnpp.NCSNpp(config)
@@ -526,6 +528,7 @@ def _ncsnpp_parity(ref, *, image_size, nf, ch_mult, num_res_blocks,
     ours = NCSNpp(
         image_size=image_size, num_channels=3, nf=nf, ch_mult=ch_mult,
         num_res_blocks=num_res_blocks, attn_resolutions=attn_resolutions,
+        **model_overrides,
     )
     rng = np.random.default_rng(8)
     x = rng.normal(size=(2, image_size, image_size, 3)).astype(np.float32)
@@ -550,6 +553,44 @@ def test_ncsnpp_forward_matches_reference_small(ref):
     _ncsnpp_parity(
         ref, image_size=32, nf=32, ch_mult=(1, 2),
         num_res_blocks=1, attn_resolutions=(16,), tol=2e-4,
+    )
+
+
+def test_ncsnpp_ddpm_resblocks_match_reference(ref):
+    # resblock_type='ddpm' (layerspp.py:166-209): standalone FIR
+    # Upsample/Downsample level transitions + NIN shortcuts.
+    # resamp_with_conv must be off: the reference's fir+with_conv
+    # upsample path crashes as shipped (up_or_down_sampling.py:127,
+    # torch forbids the negative-step slice w[..., ::-1, ::-1])
+    _ncsnpp_parity(
+        ref, image_size=32, nf=32, ch_mult=(1, 2),
+        num_res_blocks=1, attn_resolutions=(16,), tol=2e-4,
+        resblock_type="ddpm", resamp_with_conv=False,
+    )
+
+
+def test_ncsnpp_ddpm_nofir_noprogressive_matches_reference(ref, monkeypatch):
+    # ddpm blocks with nearest-resize resampling and no progressive
+    # pyramids — the vendored CIFAR-style configuration surface.
+    # Reference crash-bug #3: layerspp.Upsample(fir=False) calls
+    # F.interpolate(x, (2H, 2W), 'nearest') — the third positional is
+    # scale_factor, not mode, so it raises ValueError as shipped.  Shim
+    # the intended semantics (size=(2H,2W), mode='nearest') to compare.
+    import torch.nn.functional as t_functional
+
+    orig = t_functional.interpolate
+
+    def fixed(x, size=None, scale_factor=None, mode="nearest", **kw):
+        if isinstance(scale_factor, str):
+            mode, scale_factor = scale_factor, None
+        return orig(x, size=size, scale_factor=scale_factor, mode=mode, **kw)
+
+    monkeypatch.setattr(t_functional, "interpolate", fixed)
+    _ncsnpp_parity(
+        ref, image_size=32, nf=32, ch_mult=(1, 2),
+        num_res_blocks=1, attn_resolutions=(16,), tol=2e-4,
+        resblock_type="ddpm", fir=False,
+        progressive="none", progressive_input="none",
     )
 
 
