@@ -326,6 +326,13 @@ class NCSNpp(nn.Module):
     fourier_scale: float = 16.0
     init_scale: float = 0.0
     scale_by_sigma: bool = True
+    # SMLD noise table for the positional-embedding branch (reference
+    # ncsnpp.py:42,246 + models/utils.py:52-60) and the [0,1]-data
+    # rescale flag (ncsnpp.py:259-261)
+    sigma_min: float = 0.01
+    sigma_max: float = 50.0
+    num_scales: int = 1000
+    centered: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -378,7 +385,19 @@ class NCSNpp(nn.Module):
         else:
             from pnpflow_tpu.models.unet import sinusoidal_embedding
 
-            used_sigmas = time_cond
+            # geometric noise table indexed by the integer time label
+            # (reference ncsnpp.py:246, models/utils.py:59-60); host
+            # numpy so the constant folds at trace time
+            sigmas = jnp.asarray(
+                np.exp(
+                    np.linspace(
+                        np.log(self.sigma_max), np.log(self.sigma_min),
+                        self.num_scales,
+                    )
+                ),
+                dtype=jnp.float32,
+            )
+            used_sigmas = sigmas[time_cond.astype(jnp.int32)]
             temb = sinusoidal_embedding(time_cond, nf)
 
         if self.conditional:
@@ -394,6 +413,10 @@ class NCSNpp(nn.Module):
             )(nn.swish(temb))
         else:
             temb = None
+
+        if not self.centered:
+            # input data rides [0, 1] -> [-1, 1] (reference ncsnpp.py:259-261)
+            x = 2.0 * x - 1.0
 
         # --- down path
         input_pyramid = x if self.progressive_input != "none" else None
@@ -521,5 +544,9 @@ def make_ncsnpp_from_config(config, dtype=jnp.float32) -> NCSNpp:
         fourier_scale=m.fourier_scale,
         init_scale=m.init_scale,
         scale_by_sigma=m.scale_by_sigma,
+        sigma_min=getattr(m, "sigma_min", 0.01),
+        sigma_max=getattr(m, "sigma_max", 50.0),
+        num_scales=getattr(m, "num_scales", 1000),
+        centered=getattr(d, "centered", True),
         dtype=dtype,
     )

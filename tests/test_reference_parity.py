@@ -143,7 +143,11 @@ def _perturb_state_dict(sd, seed=0, scale=0.05):
     forward-parity test is not vacuously 0 == 0."""
     g = torch.Generator().manual_seed(seed)
     return {
-        k: v + scale * torch.randn(v.shape, generator=g, dtype=v.dtype)
+        # 'sigmas' is a derived buffer (the SMLD noise table,
+        # ncsnpp.py:42), not a weight — perturbing it would desync the
+        # torch model from the clean table the flax side computes
+        k: v if k.endswith("sigmas")
+        else v + scale * torch.randn(v.shape, generator=g, dtype=v.dtype)
         for k, v in sd.items()
     }
 
@@ -518,7 +522,10 @@ def _ncsnpp_parity(ref, *, image_size, nf, ch_mult, num_res_blocks,
     config.model.num_res_blocks = num_res_blocks
     config.model.attn_resolutions = attn_resolutions
     for k, v in model_overrides.items():
-        setattr(config.model, k, v)
+        if k == "centered":  # lives under data.* in the reference config
+            config.data.centered = v
+        else:
+            setattr(config.model, k, v)
 
     torch.manual_seed(0)
     theirs = ref.ncsnpp.NCSNpp(config)
@@ -591,6 +598,18 @@ def test_ncsnpp_ddpm_nofir_noprogressive_matches_reference(ref, monkeypatch):
         num_res_blocks=1, attn_resolutions=(16,), tol=2e-4,
         resblock_type="ddpm", fir=False,
         progressive="none", progressive_input="none",
+    )
+
+
+def test_ncsnpp_positional_sigmas_uncentered_matches_reference(ref):
+    # positional t-embedding with the SMLD sigma-table output division
+    # (ncsnpp.py:243-246 + models/utils.py:52-60) and [0,1]-range input
+    # recentering (ncsnpp.py:259-261)
+    _ncsnpp_parity(
+        ref, image_size=32, nf=32, ch_mult=(1, 2),
+        num_res_blocks=1, attn_resolutions=(16,), tol=2e-4,
+        embedding_type="positional", scale_by_sigma=True, centered=False,
+        sigma_min=0.01, sigma_max=50, num_scales=1000,
     )
 
 
