@@ -84,6 +84,7 @@ def main():
                 args.dataset, min(n_metric, 500), min(n_metric, 500),
                 root=data_root, dim_image=args.dim_image,
                 num_channels=args.num_channels,
+                test_n=n_metric,  # synthetic: n real images for FID stats
             ).load_data()
             ComputeMetric(data_loaders, bundle, args).compute_metrics(
                 n_metric, steps=metric_steps

@@ -156,7 +156,7 @@ class DataLoaders:
 
     def __init__(self, dataset_name, batch_size_train, batch_size_test,
                  root="./data", dim_image=None, num_channels=None,
-                 backend="thread", num_workers=4):
+                 backend="thread", num_workers=4, test_n=None):
         self.dataset_name = dataset_name
         self.batch_size_train = batch_size_train
         self.batch_size_test = batch_size_test
@@ -168,6 +168,10 @@ class DataLoaders:
         # (data/grain_loader.py) for production-scale training input.
         self.backend = backend
         self.num_workers = num_workers
+        # synthetic only: size of the generated test split (the metric
+        # protocol needs n real images for FID's reference statistics,
+        # compute_metric.py:20-28; default 128 keeps tests/benches light)
+        self.test_n = test_n
 
     def _file_loader(self, paths, bs, transform, shuffle=False,
                      drop_last=False):
@@ -263,7 +267,9 @@ class DataLoaders:
             ch = self.num_channels or 3
             train = synthetic_images(256, dim, ch, seed=0)
             val = synthetic_images(64, dim, ch, seed=1)
-            test = synthetic_images(128, dim, ch, seed=2)
+            test = synthetic_images(
+                max(128, int(self.test_n or 0)), dim, ch, seed=2
+            )
             return {
                 "train": _ArrayDataset(train, self.batch_size_train, True),
                 "val": _ArrayDataset(val, self.batch_size_test),
