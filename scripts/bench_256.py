@@ -102,10 +102,14 @@ def main():
 
     # Two-point fit: per-step device time = slope between a SHORT and a
     # LONG call, so any fixed per-dispatch cost (tunnel Execute latency)
-    # drops out of the reported number.
+    # drops out of the reported number.  Tunnel latency SPIKES (measured
+    # 1.7 s..9.5 s/Execute across days) can poison a single fit — take the
+    # MIN over `trials` independent measurements of each point; min is the
+    # estimator robust to one-sided latency noise.
+    trials = int(os.environ.get("TRIALS256", 3))
     lo, hi = STEPS, 4 * STEPS
-    t_lo = timed(lo, 0)
-    t_hi = timed(hi, reps)
+    t_lo = min(timed(lo, 0) for _ in range(trials))
+    t_hi = min(timed(hi, reps) for _ in range(trials))
     per_step = (t_hi - t_lo) / (hi - lo)
     overhead = t_lo - per_step * lo
 
