@@ -258,6 +258,55 @@ def norm_swish(x, name: str, norm_dtype=None, fused=False):
     return nn.swish(group_norm(name, norm_dtype)(x))
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder with ``nn.Conv``'s exact tree ({kernel, bias}, HWIO,
+    same initializers) for the fused-conv path: the Pallas kernel consumes
+    raw weights, but checkpoints must load interchangeably with the
+    standard path."""
+
+    in_features: int
+    features: int
+    ksize: tuple = (3, 3)
+    kernel_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.ksize
+        k = self.param(
+            "kernel", vs_init(self.kernel_scale),
+            (kh, kw, self.in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _GNParams(nn.Module):
+    """``nn.GroupNorm``-shaped {scale, bias} holder (fused path)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return s, b
+
+
+class _DenseParams(nn.Module):
+    """``nn.Dense``-shaped {kernel, bias} holder (fused path)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", vs_init(), (self.in_features, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class ResidualBlock(nn.Module):
     """norm-swish-conv + temb add + norm-swish-(dropout)-conv0 + shortcut
     (reference models.py:58-113)."""
@@ -269,7 +318,9 @@ class ResidualBlock(nn.Module):
     fused_norm: bool | str = False
 
     @nn.compact
-    def __call__(self, x, temb, deterministic: bool = True):
+    def __call__(self, x, temb, deterministic: bool = True, x_moments=None):
+        if self.fused_norm == "conv":
+            return self._fused(x, temb, deterministic, x_moments)
         in_ch = x.shape[-1]
         h = norm_swish(x, "norm1", self.norm_dtype, self.fused_norm)
         h = nn.Conv(
@@ -294,6 +345,49 @@ class ResidualBlock(nn.Module):
                 name="shortcut",
             )(x)
         return x + h
+
+    def _fused(self, x, temb, deterministic, x_moments):
+        """Whole block as two fused conv kernels (ops/fused_conv_gn.py):
+        each GroupNorm's normalize+swish rides its conv's prologue using
+        the moments the *previous* kernel's epilogue emitted — no separate
+        statistics pass touches HBM.  Forward/inference only."""
+        from pnpflow_tpu.ops.fused_conv_gn import (
+            channel_moments, conv3x3_gn, gn_prologue)
+
+        assert deterministic or self.dropout == 0.0, (
+            "fused_norm='conv' is a forward-only inference path"
+        )
+        in_ch = x.shape[-1]
+        hw = x.shape[1] * x.shape[2]
+        if x_moments is None:
+            x_moments = channel_moments(x)
+
+        s1 = _GNParams(in_ch, name="norm1")()
+        k1, b1 = _ConvParams(in_ch, self.out_ch, name="conv1")()
+        tk, tb = _DenseParams(
+            temb.shape[-1], self.out_ch, name="temb_proj")()
+        s2 = _GNParams(self.out_ch, name="norm2")()
+        k2, b2 = _ConvParams(
+            self.out_ch, self.out_ch, kernel_scale=0.0, name="conv2")()
+
+        dt = self.dtype
+        tv = nn.swish(temb) @ tk.astype(dt) + tb.astype(dt)  # (N, out_ch)
+        a1, c1 = gn_prologue(x_moments, hw, *s1)
+        h, mh = conv3x3_gn(
+            x, k1.astype(dt), b1, prologue=(a1, c1), sample_bias=tv,
+        )
+        a2, c2 = gn_prologue(mh, hw, *s2)
+        if in_ch != self.out_ch:
+            ks, bs = _ConvParams(
+                in_ch, self.out_ch, ksize=(1, 1), name="shortcut")()
+            xres = jnp.einsum(
+                "nhwc,co->nhwo", x, ks[0, 0].astype(dt)) + bs.astype(dt)
+        else:
+            xres = x
+        out, mo = conv3x3_gn(
+            h, k2.astype(dt), b2, prologue=(a2, c2), residual=xres,
+        )
+        return out, mo
 
 
 class SelfAttention(nn.Module):
@@ -397,6 +491,10 @@ class VelocityUNet(nn.Module):
         out_ch = self.output_channels or self.input_channels
         num_resolutions = len(self.ch_mult)
         temb_ch = self.ch * 4
+        fc = self.fused_norm == "conv"
+        if fc:
+            from pnpflow_tpu.ops.fused_conv_gn import (
+                channel_moments, concat_moments, conv3x3_gn, gn_prologue)
 
         x = x.astype(self.dtype)
         temb = TimestepEmbedding(
@@ -404,14 +502,23 @@ class VelocityUNet(nn.Module):
             dtype=self.dtype, name="temb_net",
         )(t)
 
-        # Down path
-        hs = [
-            nn.Conv(
-                self.ch, (3, 3), padding=1, kernel_init=vs_init(),
-                bias_init=nn.initializers.zeros, dtype=self.dtype,
-                name="begin_conv",
-            )(x)
-        ]
+        # Down path.  In fused-conv mode every activation travels with the
+        # per-channel moments its producing kernel emitted, so no GroupNorm
+        # ever re-reads a tensor from HBM for statistics; `ms` mirrors `hs`.
+        if fc:
+            kb, bb = _ConvParams(
+                self.input_channels, self.ch, name="begin_conv")()
+            h0, m0 = conv3x3_gn(x, kb.astype(self.dtype), bb)
+            hs, ms = [h0], [m0]
+        else:
+            hs = [
+                nn.Conv(
+                    self.ch, (3, 3), padding=1, kernel_init=vs_init(),
+                    bias_init=nn.initializers.zeros, dtype=self.dtype,
+                    name="begin_conv",
+                )(x)
+            ]
+            ms = [None]
         in_ht = self.input_height
         for i_level in range(num_resolutions):
             block_out = self.ch * self.ch_mult[i_level]
@@ -420,64 +527,100 @@ class VelocityUNet(nn.Module):
                     block_out, dropout=self.dropout, dtype=self.dtype,
                     norm_dtype=self.norm_dtype, fused_norm=self.fused_norm,
                     name=f"down_{i_level}_block_{i_block}",
-                )(hs[-1], temb, deterministic)
+                )(hs[-1], temb, deterministic, x_moments=ms[-1])
+                m = None
+                if fc:
+                    h, m = h
                 if h.shape[1] in self.attn_resolutions:
                     h = SelfAttention(
                         dtype=self.dtype, norm_dtype=self.norm_dtype,
-                        fused_norm=self.fused_norm,
+                        fused_norm=False if fc else self.fused_norm,
                         name=f"down_{i_level}_attn_{i_block}",
                     )(h)
+                    if fc:
+                        m = channel_moments(h)
                 hs.append(h)
+                ms.append(m)
             if i_level != num_resolutions - 1:
-                hs.append(
-                    Downsample(dtype=self.dtype, name=f"down_{i_level}_downsample")(
-                        hs[-1]
-                    )
-                )
+                d = Downsample(
+                    dtype=self.dtype, name=f"down_{i_level}_downsample"
+                )(hs[-1])
+                hs.append(d)
+                ms.append(channel_moments(d) if fc else None)
                 in_ht //= 2
 
         # Middle
-        h = hs[-1]
+        h, m = hs[-1], ms[-1]
         h = ResidualBlock(
             h.shape[-1], dropout=self.dropout, dtype=self.dtype,
             norm_dtype=self.norm_dtype, fused_norm=self.fused_norm,
             name="mid_block_0",
-        )(h, temb, deterministic)
+        )(h, temb, deterministic, x_moments=m)
+        if fc:
+            h, m = h
         h = SelfAttention(
             dtype=self.dtype, norm_dtype=self.norm_dtype,
-            fused_norm=self.fused_norm, name="mid_attn",
+            fused_norm=False if fc else self.fused_norm, name="mid_attn",
         )(h)
+        if fc:
+            m = channel_moments(h)
         h = ResidualBlock(
             h.shape[-1], dropout=self.dropout, dtype=self.dtype,
             norm_dtype=self.norm_dtype, fused_norm=self.fused_norm,
             name="mid_block_1",
-        )(h, temb, deterministic)
+        )(h, temb, deterministic, x_moments=m)
+        if fc:
+            h, m = h
 
         # Up path
         for i_level in reversed(range(num_resolutions)):
             block_out = self.ch * self.ch_mult[i_level]
             for i_block in range(self.num_res_blocks + 1):
+                skip = hs.pop()
+                skip_m = ms.pop()
+                hin = jnp.concatenate([h, skip], axis=-1)
+                min_ = concat_moments(m, skip_m) if fc else None
                 h = ResidualBlock(
                     block_out, dropout=self.dropout, dtype=self.dtype,
                     norm_dtype=self.norm_dtype, fused_norm=self.fused_norm,
                     name=f"up_{i_level}_block_{i_block}",
-                )(jnp.concatenate([h, hs.pop()], axis=-1), temb, deterministic)
+                )(hin, temb, deterministic, x_moments=min_)
+                if fc:
+                    h, m = h
                 if h.shape[1] in self.attn_resolutions:
                     h = SelfAttention(
                         dtype=self.dtype, norm_dtype=self.norm_dtype,
-                        fused_norm=self.fused_norm,
+                        fused_norm=False if fc else self.fused_norm,
                         name=f"up_{i_level}_attn_{i_block}",
                     )(h)
+                    if fc:
+                        m = channel_moments(h)
             if i_level != 0:
                 h = Upsample(dtype=self.dtype, name=f"up_{i_level}_upsample")(h)
+                if fc:
+                    m = channel_moments(h)
         assert not hs
 
         # End
-        h = norm_swish(h, "end_norm", self.norm_dtype, self.fused_norm)
-        h = nn.Conv(
-            out_ch, (3, 3), padding=1, kernel_init=vs_init(0.0),
-            bias_init=nn.initializers.zeros, dtype=self.dtype, name="end_conv",
-        )(h)
+        if fc:
+            se, be = _GNParams(h.shape[-1], name="end_norm")()
+            a, c = gn_prologue(m, h.shape[1] * h.shape[2], se, be)
+            hf = h.astype(jnp.float32) * a[:, None, None, :] \
+                + c[:, None, None, :]
+            h = (hf * jax.nn.sigmoid(hf)).astype(self.dtype)
+            ke, bee = _ConvParams(
+                h.shape[-1], out_ch, kernel_scale=0.0, name="end_conv")()
+            h = jax.lax.conv_general_dilated(
+                h, ke.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bee.astype(self.dtype)
+        else:
+            h = norm_swish(h, "end_norm", self.norm_dtype, self.fused_norm)
+            h = nn.Conv(
+                out_ch, (3, 3), padding=1, kernel_init=vs_init(0.0),
+                bias_init=nn.initializers.zeros, dtype=self.dtype,
+                name="end_conv",
+            )(h)
         return h.astype(jnp.float32)
 
 
