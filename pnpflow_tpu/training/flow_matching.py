@@ -210,16 +210,21 @@ class FlowMatchingTrainer:
         self.precoupled = self.coupling == "ot" and self.ot_method == "exact"
         remat = bool(getattr(args, "remat", False))
         if self.precoupled:
-            self.train_step = make_fm_train_step_precoupled(
+            step = make_fm_train_step_precoupled(
                 self.model.apply, self.tx, ema_decay=self.ema_decay,
                 remat=remat,
             )
         else:
-            self.train_step = make_fm_train_step(
+            step = make_fm_train_step(
                 self.model.apply, self.tx, coupling=self.coupling,
                 ema_decay=self.ema_decay, ot_method=self.ot_method,
                 remat=remat,
             )
+        # ONE compiled program per step, state buffers donated and rebound.
+        # Without this wrap the loop dispatches the fwd+bwd op-by-op — on a
+        # remote TPU runtime that is a round-trip per op (~30 s/step for the
+        # 35M-param U-Net vs ~0.2 s jitted, measured round 4).
+        self.train_step = jax.jit(step, donate_argnums=(0,))
 
     # -- state ---------------------------------------------------------------
     def init_state(self, seed: int = 0):
@@ -378,10 +383,12 @@ class FlowMatchingTrainer:
                     time.perf_counter() - t_ep,
                 )
             )
-            # full-state resume point: every preempt_every epochs (the
-            # state dump is params+opt+ema — hundreds of MB; once per epoch
-            # dominates small-scale epochs)
-            preempt_every = int(getattr(args, "preempt_every", 10) or 10)
+            # full-state resume point: every preempt_every epochs.  The
+            # state dump (params+opt+ema, hundreds of MB) is a ~1s local
+            # write — negligible next to an epoch — so default to every
+            # epoch: a coarser cadence makes timeout-killed runs replay
+            # whole epochs on resume.
+            preempt_every = int(getattr(args, "preempt_every", 1) or 1)
             if (epoch + 1) % preempt_every == 0:
                 self.save_preemption(state, epochs_done=epoch + 1)
             if epoch % self.save_every == 0:
