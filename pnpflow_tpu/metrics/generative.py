@@ -13,10 +13,13 @@ runs on host (scipy.linalg.sqrtm, same as the reference fid_score.py:74-128).
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from pnpflow_tpu.solvers.base import peak_memory_bytes
 
 
 # ---------------------------------------------------------------------------
@@ -260,6 +263,7 @@ class ComputeMetric:
 
     def compute_metrics(self, n: int, steps: int = 100,
                         sampler: str | None = None):
+        t0 = time.perf_counter()
         args = self.args
         feature_fn, outputs_fn, feat_name = self._feature_fn()
 
@@ -320,6 +324,12 @@ class ComputeMetric:
             )
         )
 
+        # protocol evidence: wall time for the whole n-sample run and the
+        # device peak memory, appended as extra key/value tokens (parsers
+        # read tokens by key, so trailing additions are compatible)
+        wall_s = time.perf_counter() - t0
+        peak_mb = peak_memory_bytes() / 2**20
+
         path = os.path.join(
             args.output_root, "results", args.dataset, args.model
         )
@@ -331,9 +341,13 @@ class ComputeMetric:
             )
             if is_mean is not None:
                 line += " IS {} IS_std {}".format(is_mean, is_std)
+            line += " wall_s {:.2f} peak_mem_MiB {:.1f}".format(
+                wall_s, peak_mb
+            )
             f.write(line + "\n")
         out = {"fid": fid, "kid": kid, "kid_std": kid_std,
-               "vendi": vendi, "sw": sw}
+               "vendi": vendi, "sw": sw,
+               "wall_s": wall_s, "peak_mem_mib": peak_mb}
         if is_mean is not None:
             out["is"] = is_mean
             out["is_std"] = is_std
