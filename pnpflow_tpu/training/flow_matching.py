@@ -384,10 +384,12 @@ class FlowMatchingTrainer:
                 )
             )
             # full-state resume point: every preempt_every epochs.  The
-            # state dump (params+opt+ema, hundreds of MB) is a ~1s local
-            # write — negligible next to an epoch — so default to every
-            # epoch: a coarser cadence makes timeout-killed runs replay
-            # whole epochs on resume.
+            # state dump (params+opt+ema, hundreds of MB) is ~1s on a local
+            # runtime but ~28s on the tunneled axon backend (device->host
+            # pull at tunnel line rate; measured round 4, 30s/epoch wall vs
+            # 1.5s compute at 64² batch 32) — when the write dwarfs the
+            # epoch, raise preempt_every (each unit risks replaying one
+            # epoch on preemption, which costs less than the write).
             preempt_every = int(getattr(args, "preempt_every", 1) or 1)
             if (epoch + 1) % preempt_every == 0:
                 self.save_preemption(state, epochs_done=epoch + 1)
