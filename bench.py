@@ -46,7 +46,9 @@ UNROLL = int(os.environ.get("BENCH_UNROLL", 1))
 # XLA's own fusion (BASELINE.md): "cmin"/"1" C-minor Pallas kernel 3.0
 # img/s (full-tensor transposes around every norm), "bm" batch-minor
 # Pallas kernel 6.99 img/s (copies + lost fusion at the custom-call
-# boundary), "dot" MXU-matmul statistics 10.79 img/s (x² materialization).
+# boundary), "dot" MXU-matmul statistics 10.79 img/s (x² materialization),
+# "conv" fused Pallas conv3x3+GN-epilogue 3.59 img/s (a Pallas conv can't
+# match XLA's conv emitter at these shapes).
 # "0" (default): plain XLA, 11.95 img/s.
 _fused_env = os.environ.get("BENCH_FUSED_NORM", "0")
 FUSED_NORM = {"0": False, "1": True}.get(_fused_env, _fused_env)
