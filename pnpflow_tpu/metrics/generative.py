@@ -293,7 +293,8 @@ class ComputeMetric:
         gen_feats = []
         gen_probs = []
         key = jax.random.PRNGKey(int(getattr(args, "seed", 0) or 0))
-        for _ in range((n + batch - 1) // batch):
+        n_chunks = (n + batch - 1) // batch
+        for i in range(n_chunks):
             key, sub = jax.random.split(key)
             samples = self._sample_batch(sub, batch, steps, sampler)
             s01 = jnp.clip((samples + 1.0) / 2.0, 0.0, 1.0)
@@ -303,6 +304,14 @@ class ComputeMetric:
                 gen_probs.append(np.asarray(p))
             else:
                 gen_feats.append(np.asarray(feature_fn(s01)))
+            if (i + 1) % 10 == 0 or i + 1 == n_chunks:
+                print(
+                    "  sampled {}/{} ({:.0f}s)".format(
+                        min((i + 1) * batch, n), n,
+                        time.perf_counter() - t0,
+                    ),
+                    flush=True,
+                )
         feat_gen = np.concatenate(gen_feats, axis=0)[:n]
 
         fid = fid_from_features(feat_test, feat_gen)
