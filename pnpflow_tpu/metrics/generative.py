@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pnpflow_tpu.solvers.base import peak_memory_bytes
+from pnpflow_tpu.solvers.base import peak_memory_bytes_info
 
 
 # ---------------------------------------------------------------------------
@@ -212,7 +212,20 @@ class ComputeMetric:
 
         fns = get_inception_fns(self.args)
         if fns is not None:
-            return fns[0], fns[1], "inception_2048"
+            # weight provenance rides in the feature-space token so a
+            # metrics.txt line is self-describing (converted published
+            # checkpoint vs the zero-egress deterministic random init)
+            name = "inception_2048"
+            path = os.path.join(
+                self.args.output_root, "model", "inception_fid.npz"
+            )
+            try:
+                with np.load(path) as f:
+                    if "provenance" in f.files:
+                        name += "[{}]".format(str(f["provenance"]))
+            except Exception:
+                pass
+            return fns[0], fns[1], name
         import warnings
 
         warnings.warn(
@@ -337,7 +350,8 @@ class ComputeMetric:
         # device peak memory, appended as extra key/value tokens (parsers
         # read tokens by key, so trailing additions are compatible)
         wall_s = time.perf_counter() - t0
-        peak_mb = peak_memory_bytes() / 2**20
+        peak_b, peak_src = peak_memory_bytes_info()
+        peak_mb = peak_b / 2**20
 
         path = os.path.join(
             args.output_root, "results", args.dataset, args.model
@@ -350,8 +364,8 @@ class ComputeMetric:
             )
             if is_mean is not None:
                 line += " IS {} IS_std {}".format(is_mean, is_std)
-            line += " wall_s {:.2f} peak_mem_MiB {:.1f}".format(
-                wall_s, peak_mb
+            line += " wall_s {:.2f} peak_mem_MiB {:.1f} peak_mem_src {}".format(
+                wall_s, peak_mb, peak_src
             )
             f.write(line + "\n")
         out = {"fid": fid, "kid": kid, "kid_std": kid_std,

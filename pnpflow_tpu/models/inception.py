@@ -185,11 +185,14 @@ def load_inception_params(path: str):
     flat = np.load(path)
     tree: dict = {}
     for key in flat.files:
+        val = flat[key]
+        if not np.issubdtype(val.dtype, np.number):
+            continue  # metadata (e.g. the 'provenance' string), not weights
         node = tree
         parts = key.split("/")
         for part in parts[:-1]:
             node = node.setdefault(part, {})
-        node[parts[-1]] = jnp.asarray(flat[key])
+        node[parts[-1]] = jnp.asarray(val)
     return tree
 
 

@@ -129,6 +129,11 @@ def _kernel(x_ref, w_ref, b_ref, a_ref, pb_ref, sb_ref, res_ref,
         yf = yo.astype(jnp.float32)
         mom_ref[0, 0, :] = jnp.sum(yf, axis=0)
         mom_ref[0, 1, :] = jnp.sum(yf * yf, axis=0)
+    else:
+        # the buffer is still a pallas_call output: leaving it unwritten is
+        # rejected by some Mosaic versions and would hand uninitialized
+        # memory to any caller that reads it
+        mom_ref[...] = jnp.zeros(mom_ref.shape, mom_ref.dtype)
 
 
 @functools.partial(
@@ -217,8 +222,18 @@ def conv3x3_gn(x, w, b, *, prologue=None, sample_bias=None, residual=None,
     Returns ``(y, moments)``; moments is (N, 2, CO) f32 (sum, sumsq over
     H·W) or None when ``emit_moments=False``.
     """
-    if interpret is None:  # Mosaic needs a TPU; interpret elsewhere (tests)
-        interpret = jax.default_backend() != "tpu"
+    if interpret is None:
+        if jax.default_backend() != "tpu":
+            # Mosaic needs a TPU.  Non-TPU backends take the XLA mirror
+            # (identical semantics) rather than silently running the
+            # orders-of-magnitude-slower Pallas interpreter; tests opt into
+            # the interpreter explicitly with interpret=True.
+            return conv3x3_gn_reference(
+                x, w, b, prologue=prologue, sample_bias=sample_bias,
+                residual=residual, emit_moments=emit_moments,
+                out_dtype=out_dtype,
+            )
+        interpret = False
     n, h, w_, c = x.shape
     co = w.shape[-1]
     # tiny input channels (the 3-ch begin conv) or over-budget shapes take

@@ -383,15 +383,31 @@ class FlowMatchingTrainer:
                     time.perf_counter() - t_ep,
                 )
             )
-            # full-state resume point: every preempt_every epochs.  The
-            # state dump (params+opt+ema, hundreds of MB) is ~1s on a local
-            # runtime but ~28s on the tunneled axon backend (device->host
-            # pull at tunnel line rate; measured round 4, 30s/epoch wall vs
-            # 1.5s compute at 64² batch 32) — when the write dwarfs the
-            # epoch, raise preempt_every (each unit risks replaying one
-            # epoch on preemption, which costs less than the write).
-            preempt_every = int(getattr(args, "preempt_every", 1) or 1)
-            if (epoch + 1) % preempt_every == 0:
+            # full-state resume point.  The state dump (params+opt+ema,
+            # hundreds of MB) is ~1s on a local runtime but ~28s on the
+            # tunneled axon backend (device->host pull at tunnel line rate;
+            # measured round 4: 30s/epoch wall vs 1.5s compute at 64²
+            # batch 32).  Default cadence is adaptive: write when the
+            # compute accumulated since the last write reaches the measured
+            # cost of one write, bounding resume-write overhead at ~50% of
+            # wall time on slow-write runtimes while a fast runtime still
+            # writes every epoch.  An integer --opts preempt_every forces a
+            # fixed every-N-epochs cadence; preemption replays at most the
+            # epochs since the last write either way.
+            epoch_s = time.perf_counter() - t_ep
+            preempt_every = getattr(args, "preempt_every", "auto") or "auto"
+            if str(preempt_every) == "auto":
+                self._compute_since_write = (
+                    getattr(self, "_compute_since_write", 0.0) + epoch_s
+                )
+                if self._compute_since_write >= getattr(
+                    self, "_resume_write_s", 0.0
+                ):
+                    t_w = time.perf_counter()
+                    self.save_preemption(state, epochs_done=epoch + 1)
+                    self._resume_write_s = time.perf_counter() - t_w
+                    self._compute_since_write = 0.0
+            elif (epoch + 1) % int(preempt_every) == 0:
                 self.save_preemption(state, epochs_done=epoch + 1)
             if epoch % self.save_every == 0:
                 self.save_state(state, epoch, epochs_done=epoch + 1)

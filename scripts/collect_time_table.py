@@ -31,7 +31,20 @@ def collect(roots):
                     return None
                 with open(path) as f:
                     lines = [ln.strip() for ln in f if ln.strip()]
-                return float(lines[-1].split(":")[-1]) if lines else None
+                if not lines:
+                    return None
+                try:
+                    return float(lines[-1].split(":")[-1])
+                except ValueError:
+                    # a malformed trailing line in one artifact must not
+                    # abort the whole collection — mark it missing
+                    print(
+                        "warning: unparseable last line in {}: {!r}".format(
+                            path, lines[-1]
+                        ),
+                        file=sys.stderr,
+                    )
+                    return None
 
             rows.append(
                 dict(

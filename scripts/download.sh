@@ -63,6 +63,13 @@ fetch_one() {
             -O model/pt_inception.pth
         python -m pnpflow_tpu.utils.inception_convert model/pt_inception.pth model/inception_fid.npz
         ;;
+    inception-fid-synthetic)
+        # zero-egress fallback: deterministic random-init weights with the
+        # published checkpoint's exact shapes; exercises the full metric
+        # protocol but values are not comparable to published FID/IS
+        mkdir -p model
+        python -m pnpflow_tpu.utils.inception_convert --synthetic model/inception_fid.npz
+        ;;
     mnist)
         mkdir -p data/mnist
         base="https://storage.googleapis.com/cvdf-datasets/mnist"
@@ -73,7 +80,7 @@ fetch_one() {
         ;;
     *)
         echo "unknown target: $1" >&2
-        echo "targets: pretrained-network-celeba pretrained-network-afhq-cat celeba-dataset celeba-hq-dataset afhq-cat-dataset inception-fid mnist" >&2
+        echo "targets: pretrained-network-celeba pretrained-network-afhq-cat celeba-dataset celeba-hq-dataset afhq-cat-dataset inception-fid inception-fid-synthetic mnist" >&2
         exit 1
         ;;
     esac

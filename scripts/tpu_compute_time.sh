@@ -9,14 +9,15 @@
 # hyperparameters per method are the reference's deblurring values
 # (script_compute_time.sh:1-22, script_test.sh:12,29,45,62,80,93).
 #
-# MAXB (default 3) bounds batches for tunnel runs; the reference uses 25.
+# MAXB defaults to the reference's 25 batches so a default run reproduces
+# the recorded protocol; set MAXB=3 for smoke runs on tight tunnel budgets.
 
 set -e
 cd "$(dirname "$0")/.."
 
 dataset=${DATASET:-synthetic}
 dim=${DIM:-128}
-maxb=${MAXB:-3}
+maxb=${MAXB:-25}
 # EXTRA: trailing --opts appended after the per-method flags (later keys win
 # in the merge), e.g. EXTRA="steps_pnp 2 num_samples 1" for smoke runs.
 extra=${EXTRA:-}

@@ -136,3 +136,26 @@ def test_fused_unet_param_tree_and_output():
     y_fc = m_fc.apply(p, x, t)
     rel = float(jnp.max(jnp.abs(y - y_fc))) / float(jnp.max(jnp.abs(y)))
     assert rel < 1e-4
+
+
+def test_non_tpu_default_routes_to_xla_reference(monkeypatch):
+    """With interpret unspecified on a non-TPU backend, conv3x3_gn must take
+    the XLA mirror — not silently run the orders-of-magnitude slower Pallas
+    interpreter (round-4 advisor finding)."""
+    import pnpflow_tpu.ops.fused_conv_gn as m
+
+    if jax.default_backend() == "tpu":
+        pytest.skip("non-TPU routing test")
+
+    def boom(*a, **k):
+        raise AssertionError("Pallas path taken on a non-TPU backend")
+
+    monkeypatch.setattr(m, "_conv3x3_gn_impl", boom)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 16, 32)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+    y, mom = m.conv3x3_gn(x, w, b)
+    y2, mom2 = m.conv3x3_gn_reference(x, w, b)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mom), np.asarray(mom2), rtol=1e-6)

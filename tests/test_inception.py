@@ -8,101 +8,10 @@ import jax.numpy as jnp
 from pnpflow_tpu.models.inception import inception_pool3
 from pnpflow_tpu.utils.inception_convert import convert_inception_state_dict
 
-# (prefix, in_ch, out_ch, (kh, kw)) for every conv in the FID InceptionV3
-_CONVS = []
-
-
-def _add(prefix, cin, cout, k):
-    _CONVS.append((prefix, cin, cout, k if isinstance(k, tuple) else (k, k)))
-
-
-def _block_a(name, cin, pool):
-    _add(f"{name}.branch1x1", cin, 64, 1)
-    _add(f"{name}.branch5x5_1", cin, 48, 1)
-    _add(f"{name}.branch5x5_2", 48, 64, 5)
-    _add(f"{name}.branch3x3dbl_1", cin, 64, 1)
-    _add(f"{name}.branch3x3dbl_2", 64, 96, 3)
-    _add(f"{name}.branch3x3dbl_3", 96, 96, 3)
-    _add(f"{name}.branch_pool", cin, pool, 1)
-    return 64 + 64 + 96 + pool
-
-
-def _block_c(name, cin, c7):
-    _add(f"{name}.branch1x1", cin, 192, 1)
-    _add(f"{name}.branch7x7_1", cin, c7, 1)
-    _add(f"{name}.branch7x7_2", c7, c7, (1, 7))
-    _add(f"{name}.branch7x7_3", c7, 192, (7, 1))
-    _add(f"{name}.branch7x7dbl_1", cin, c7, 1)
-    _add(f"{name}.branch7x7dbl_2", c7, c7, (7, 1))
-    _add(f"{name}.branch7x7dbl_3", c7, c7, (1, 7))
-    _add(f"{name}.branch7x7dbl_4", c7, c7, (7, 1))
-    _add(f"{name}.branch7x7dbl_5", c7, 192, (1, 7))
-    _add(f"{name}.branch_pool", cin, 192, 1)
-    return 768
-
-
-def _block_e(name, cin):
-    _add(f"{name}.branch1x1", cin, 320, 1)
-    _add(f"{name}.branch3x3_1", cin, 384, 1)
-    _add(f"{name}.branch3x3_2a", 384, 384, (1, 3))
-    _add(f"{name}.branch3x3_2b", 384, 384, (3, 1))
-    _add(f"{name}.branch3x3dbl_1", cin, 448, 1)
-    _add(f"{name}.branch3x3dbl_2", 448, 384, 3)
-    _add(f"{name}.branch3x3dbl_3a", 384, 384, (1, 3))
-    _add(f"{name}.branch3x3dbl_3b", 384, 384, (3, 1))
-    _add(f"{name}.branch_pool", cin, 192, 1)
-    return 2048
-
-
-def _build_table():
-    _CONVS.clear()
-    _add("Conv2d_1a_3x3", 3, 32, 3)
-    _add("Conv2d_2a_3x3", 32, 32, 3)
-    _add("Conv2d_2b_3x3", 32, 64, 3)
-    _add("Conv2d_3b_1x1", 64, 80, 1)
-    _add("Conv2d_4a_3x3", 80, 192, 3)
-    c = _block_a("Mixed_5b", 192, 32)   # 256
-    c = _block_a("Mixed_5c", c, 64)     # 288
-    c = _block_a("Mixed_5d", c, 64)     # 288
-    # Mixed_6a
-    _add("Mixed_6a.branch3x3", c, 384, 3)
-    _add("Mixed_6a.branch3x3dbl_1", c, 64, 1)
-    _add("Mixed_6a.branch3x3dbl_2", 64, 96, 3)
-    _add("Mixed_6a.branch3x3dbl_3", 96, 96, 3)
-    c = 384 + 96 + c                     # 768
-    c = _block_c("Mixed_6b", c, 128)
-    c = _block_c("Mixed_6c", c, 160)
-    c = _block_c("Mixed_6d", c, 160)
-    c = _block_c("Mixed_6e", c, 192)
-    # Mixed_7a
-    _add("Mixed_7a.branch3x3_1", c, 192, 1)
-    _add("Mixed_7a.branch3x3_2", 192, 320, 3)
-    _add("Mixed_7a.branch7x7x3_1", c, 192, 1)
-    _add("Mixed_7a.branch7x7x3_2", 192, 192, (1, 7))
-    _add("Mixed_7a.branch7x7x3_3", 192, 192, (7, 1))
-    _add("Mixed_7a.branch7x7x3_4", 192, 192, 3)
-    c = 320 + 192 + c                    # 1280
-    c = _block_e("Mixed_7b", c)
-    c = _block_e("Mixed_7c", c)
-    assert c == 2048
-
-
-def synthetic_state_dict(seed=0):
-    _build_table()
-    rng = np.random.default_rng(seed)
-    sd = {}
-    for prefix, cin, cout, (kh, kw) in _CONVS:
-        sd[prefix + ".conv.weight"] = (
-            rng.normal(size=(cout, cin, kh, kw)).astype(np.float32) * 0.05
-        )
-        sd[prefix + ".bn.weight"] = np.ones(cout, np.float32)
-        sd[prefix + ".bn.bias"] = np.zeros(cout, np.float32)
-        sd[prefix + ".bn.running_mean"] = np.zeros(cout, np.float32)
-        sd[prefix + ".bn.running_var"] = np.ones(cout, np.float32)
-    # 1008-way classifier head carried by pt_inception-2015-12-05
-    sd["fc.weight"] = rng.normal(size=(1008, 2048)).astype(np.float32) * 0.02
-    sd["fc.bias"] = np.zeros(1008, np.float32)
-    return sd
+# The deterministic full-shape state dict lives in the converter module
+# (zero-egress fallback for regenerating model/inception_fid.npz); tests
+# exercise the same generator the CLI uses.
+from pnpflow_tpu.utils.inception_convert import synthetic_state_dict  # noqa: E402
 
 
 def test_convert_and_forward():

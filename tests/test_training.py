@@ -177,6 +177,65 @@ def test_preemption_point_every_epoch_by_default(tmp_path, tiny, monkeypatch):
     assert {1, 2, 3} <= set(seen), seen
 
 
+def _cadence_trainer(tmp_path, tiny, monkeypatch, num_epoch, **extra):
+    from pnpflow_tpu.training.flow_matching import FlowMatchingTrainer
+    from pnpflow_tpu.utils.config import CfgNode
+
+    args = CfgNode(
+        {
+            "dataset": "synthetic",
+            "model": "indep",
+            "dim_image": DIM,
+            "num_channels": 1,
+            "lr": 1e-3,
+            "num_epoch": num_epoch,
+            "seed": 0,
+            "output_root": str(tmp_path),
+            "batch_size_train": 8,
+            "save_every": 100,
+            **extra,
+        }
+    )
+    tr = FlowMatchingTrainer(args, model=tiny[0])
+    seen = []
+    monkeypatch.setattr(
+        tr, "save_preemption",
+        lambda state, epochs_done=0: seen.append(epochs_done),
+    )
+    # keep the heavyweight epoch-0 save_state/plot/FID out of the count
+    monkeypatch.setattr(tr, "save_state", lambda *a, **k: None)
+    monkeypatch.setattr(tr, "_save_sample_plot", lambda *a, **k: None)
+    monkeypatch.setattr(tr, "_fid_checkpoint", lambda *a, **k: None)
+    return tr, seen
+
+
+def test_preemption_adaptive_cadence_throttles_slow_writes(
+    tmp_path, tiny, monkeypatch
+):
+    """The default ("auto") resume-point cadence must skip writes while the
+    accumulated epoch compute is below the measured cost of one write —
+    otherwise a 28 s tunnel write after every 1.5 s epoch makes checkpoint
+    IO dominate wall time ~20x (round-4 advisor finding)."""
+    tr, seen = _cadence_trainer(tmp_path, tiny, monkeypatch, num_epoch=3)
+    # pretend the last resume write took an hour: millisecond epochs must
+    # never accumulate enough compute to justify another write
+    tr._resume_write_s = 3600.0
+    tr._compute_since_write = 0.0
+    x = np.zeros((8, DIM, DIM, 1), np.float32)
+    tr.train({"train": [(x, 0)]})
+    assert seen == [], seen
+
+
+def test_preemption_fixed_cadence_honored(tmp_path, tiny, monkeypatch):
+    """An integer --opts preempt_every forces the fixed every-N cadence."""
+    tr, seen = _cadence_trainer(
+        tmp_path, tiny, monkeypatch, num_epoch=4, preempt_every=2
+    )
+    x = np.zeros((8, DIM, DIM, 1), np.float32)
+    tr.train({"train": [(x, 0)]})
+    assert seen == [2, 4], seen
+
+
 def test_euler_sample_shapes(tiny):
     m, params = tiny
     out = euler_sample(
