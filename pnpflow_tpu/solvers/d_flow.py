@@ -60,7 +60,20 @@ def make_d_flow_solver(
     lmbda: float,
     max_iter: int,
     lbfgs_iter: int,
+    early_exit: bool = True,
+    tol_grad: float = 1e-7,
+    tol_change: float = 1e-9,
 ):
+    """LBFGS-through-the-flow solver.
+
+    ``early_exit=True`` (default) runs the LBFGS loop as a
+    ``lax.while_loop`` with torch.optim.LBFGS's own stopping criteria
+    (``tolerance_grad`` on max|grad| and ``tolerance_change`` on both the
+    step and the loss decrease — torch lbfgs.py defaults 1e-7/1e-9, the
+    values the reference runs with, d_flow.py:94-95): iterations past
+    convergence are skipped instead of re-running a converged problem.
+    ``early_exit=False`` keeps the flat fixed-length ``lax.scan``
+    (differentiable, deterministic step count)."""
     forward = make_forward_flow(model_apply, steps_euler, start_time)
     total_iters = max_iter * lbfgs_iter
 
@@ -84,17 +97,45 @@ def make_d_flow_solver(
 
         value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
-        def step(carry, _):
-            z, state = carry
+        def lbfgs_step(z, state):
             value, grad = value_and_grad(z, state=state)
             updates, state = opt.update(
                 grad, state, z, value=value, grad=grad, value_fn=loss_fn
             )
-            return (optax.apply_updates(z, updates), state), value
+            return optax.apply_updates(z, updates), state, value, updates, grad
 
-        (z, _), _ = jax.lax.scan(
-            step, (z, opt.init(z)), None, length=total_iters
-        )
+        if early_exit:
+            def cond(carry):
+                _, _, it, done, _ = carry
+                return jnp.logical_and(it < total_iters,
+                                       jnp.logical_not(done))
+
+            def body(carry):
+                z, state, it, _, prev_value = carry
+                z_new, state, value, updates, grad = lbfgs_step(z, state)
+                # torch lbfgs.py stopping tests: max|grad| <= tolerance_grad;
+                # max|step| <= tolerance_change; |loss decrease| <
+                # tolerance_change (prev_value is last iteration's loss;
+                # inf on the first pass so the test cannot fire early)
+                done = jnp.max(jnp.abs(grad)) <= tol_grad
+                done |= jnp.max(jnp.abs(updates)) <= tol_change
+                done |= jnp.abs(prev_value - value) < tol_change
+                return z_new, state, it + 1, done, value
+
+            z, _, _, _, _ = jax.lax.while_loop(
+                cond, body,
+                (z, opt.init(z), jnp.asarray(0, jnp.int32),
+                 jnp.asarray(False), jnp.asarray(jnp.inf, jnp.float32)),
+            )
+        else:
+            def step(carry, _):
+                z, state = carry
+                z, state, value, _, _ = lbfgs_step(z, state)
+                return (z, state), value
+
+            (z, _), _ = jax.lax.scan(
+                step, (z, opt.init(z)), None, length=total_iters
+            )
         return z, forward(params, z)
 
     return solve
@@ -116,6 +157,9 @@ class DFlow(Solver):
                 lmbda=float(args.lmbda),
                 max_iter=int(args.max_iter),
                 lbfgs_iter=int(args.LBFGS_iter),
+                # --opts lbfgs_early_exit False restores the fixed-length
+                # scan (an A/B knob; semantics match at torch's tolerances)
+                early_exit=bool(getattr(args, "lbfgs_early_exit", True)),
             )
         solve = self._solver_cache
 

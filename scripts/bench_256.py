@@ -113,14 +113,45 @@ def main():
     per_step = (t_hi - t_lo) / (hi - lo)
     overhead = t_lo - per_step * lo
 
+    # FLOP accounting from the compiled executable (XLA cost analysis of
+    # the lo-step scan), so the MFU number uses the program's own count
+    # rather than an analytic estimate.  v5e bf16 peak: 197 TFLOP/s.
+    flops_per_step = mfu = None
+    try:
+        ca = solve.lower(
+            params, y, x_init, keys[0], zero, lo
+        ).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        total_flops = float(ca.get("flops", 0.0))
+        if total_flops > 0:
+            flops_per_step = total_flops / lo
+            mfu = flops_per_step / per_step / 197e12
+    except Exception as e:  # cost analysis is best-effort on this runtime
+        print("cost_analysis unavailable:", e, file=sys.stderr)
+
+    # PROFILE256=<dir>: capture a device trace of one hi-step solve for
+    # scripts/profile_report.py (the 256² path had no trace before round 5)
+    prof_dir = os.environ.get("PROFILE256")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
+        out = solve(params, y, x_init, keys[0], zero, hi)
+        float(reduce(out))
+        jax.profiler.stop_trace()
+        print("trace written to", prof_dir, file=sys.stderr)
+
     full_protocol = per_step * 100  # the shipped config runs 100 steps
-    print(json.dumps({
+    rec = {
         "probe": "pnp_flow_ncsnpp256_deblur_bf16",
         "batch": B, "mc_samples": MC, "steps_lo_hi": [lo, hi],
         "sec_per_step": round(per_step, 4),
         "per_call_overhead_sec": round(overhead, 4),
         "images_per_sec_100step_protocol": round(B / full_protocol, 3),
-    }), flush=True)
+    }
+    if mfu is not None:
+        rec["gflops_per_step"] = round(flops_per_step / 1e9, 1)
+        rec["mfu_vs_197tflops_bf16"] = round(mfu, 4)
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

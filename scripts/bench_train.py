@@ -16,7 +16,10 @@ amortizes); the exact mode must alternate host/device so it is timed over
 sequential steps with a host read per step, reflecting real training.
 
 Knobs: BT_BATCH (default 32 — batch 64 fp32 exceeds the v5e HBM without
-remat, see verify skill), BT_STEPS (scan length, default 10), BT_REPS.
+remat, see verify skill), BT_DIM (image size, default 64; 128 is the
+reference's celeba training geometry, train_flow_matching.py:216-249),
+BT_REMAT (1 wraps the model in jax.checkpoint for tight-HBM geometries),
+BT_STEPS (scan length, default 10), BT_REPS.
 
 Usage: python scripts/bench_train.py
 """
@@ -38,7 +41,8 @@ import pnpflow_tpu.utils.jax_setup  # noqa: F401
 BATCH = int(os.environ.get("BT_BATCH", 32))
 STEPS = int(os.environ.get("BT_STEPS", 10))
 REPS = int(os.environ.get("BT_REPS", 3))
-DIM = 64
+DIM = int(os.environ.get("BT_DIM", 64))
+REMAT = bool(int(os.environ.get("BT_REMAT", "0")))
 
 
 def main():
@@ -71,7 +75,7 @@ def main():
     for coupling in ("indep", "sinkhorn"):
         step = make_fm_train_step(
             apply, tx, coupling="ot" if coupling == "sinkhorn" else "indep",
-            ot_method="sinkhorn",
+            ot_method="sinkhorn", remat=REMAT,
         )
 
         @jax.jit
@@ -102,7 +106,7 @@ def main():
         results[coupling] = BATCH / best
 
     # --- exact host-LAP coupling: sequential steps, host pairing ----------
-    step_pc = jax.jit(make_fm_train_step_precoupled(apply, tx))
+    step_pc = jax.jit(make_fm_train_step_precoupled(apply, tx, remat=REMAT))
     state = {
         "params": params, "opt_state": tx.init(params),
         "ema": params, "step": jnp.int32(0),
@@ -129,8 +133,8 @@ def main():
     results["exact_host_lap"] = BATCH / best
 
     print(json.dumps({
-        "probe": "fm_train_step_unet64",
-        "batch": BATCH, "steps_timed": STEPS,
+        "probe": "fm_train_step_unet{}".format(DIM),
+        "batch": BATCH, "steps_timed": STEPS, "remat": REMAT,
         "images_per_sec": {k: round(v, 2) for k, v in results.items()},
     }), flush=True)
 

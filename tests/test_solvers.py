@@ -118,6 +118,42 @@ def test_d_flow_reduces_measurement_loss(model, clean):
 
 
 @pytest.mark.slow
+def test_d_flow_early_exit_matches_flat_scan(model, clean):
+    """The while_loop early-exit path is an optimization, not a semantic
+    change: on a problem that does not converge within the budget it must
+    reproduce the fixed-length scan exactly, and when a stopping test
+    fires on the first iteration it must equal a 1-iteration scan (torch
+    LBFGS freezes z at convergence, lbfgs.py stopping tests)."""
+    from pnpflow_tpu.solvers.d_flow import make_d_flow_solver
+
+    m, params = model
+    op = BoxInpainting(6, DIM)
+    y = op.H(clean)
+    z = jax.random.normal(jax.random.PRNGKey(1), y.shape)
+
+    kw = dict(steps_euler=3, start_time=0.0, lmbda=0.01,
+              max_iter=1, lbfgs_iter=3)
+    z_flat, x_flat = make_d_flow_solver(
+        m.apply, op.H, early_exit=False, **kw)(params, y, z)
+    z_ee, x_ee = make_d_flow_solver(
+        m.apply, op.H, early_exit=True, **kw)(params, y, z)
+    np.testing.assert_allclose(
+        np.asarray(z_ee), np.asarray(z_flat), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(x_ee), np.asarray(x_flat), rtol=1e-6, atol=1e-6)
+
+    # loss-decrease tolerance set huge -> the |prev - value| test fires
+    # after iteration 1; result must equal the flat 1-iteration scan
+    z_one, _ = make_d_flow_solver(
+        m.apply, op.H, steps_euler=3, start_time=0.0, lmbda=0.01,
+        max_iter=1, lbfgs_iter=1, early_exit=False)(params, y, z)
+    z_stop, _ = make_d_flow_solver(
+        m.apply, op.H, early_exit=True, tol_change=1e18, **kw)(params, y, z)
+    np.testing.assert_allclose(
+        np.asarray(z_stop), np.asarray(z_one), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_flow_priors_runs(model, clean):
     from pnpflow_tpu.solvers.flow_priors import make_flow_priors_solver
 
