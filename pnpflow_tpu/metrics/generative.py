@@ -22,6 +22,14 @@ import jax.numpy as jnp
 from pnpflow_tpu.solvers.base import peak_memory_bytes_info
 
 
+def _atomic_savez(path: str, **arrays) -> None:
+    """np.savez to a temp file + rename, so a killed process never leaves a
+    truncated chunk that a resumed run would trust."""
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
 # ---------------------------------------------------------------------------
 # FID
 
@@ -288,35 +296,78 @@ class ComputeMetric:
         batch = max(n_dev, min(batch, ((n + n_dev - 1) // n_dev) * n_dev))
 
         # test-set features ([-1,1] -> [0,1]), extracted chunk-by-chunk —
-        # never the whole n x dim² set in one device array
-        test_feats = []
-        count = 0
-        for x, _ in self.loaders[args.eval_split]:
-            x = np.asarray(x, np.float32)[: n - count]
-            for i in range(0, len(x), batch):
-                chunk01 = (jnp.asarray(x[i : i + batch]) + 1.0) / 2.0
-                test_feats.append(np.asarray(feature_fn(chunk01)))
-            count += len(x)
-            if count >= n:
-                break
-        feat_test = np.concatenate(test_feats, axis=0)[:n]
+        # never the whole n x dim² set in one device array; cached next to
+        # the generated-feature chunks (loader order is deterministic)
+        tcache_dir = os.path.join(
+            args.output_root, "results", args.dataset, args.model,
+            "metric_cache", "test_{}".format(feat_name.split("[")[0]),
+        )
+        os.makedirs(tcache_dir, exist_ok=True)
+        tcache = os.path.join(tcache_dir, "feats_n{}.npz".format(n))
+        if os.path.exists(tcache):
+            with np.load(tcache) as tf:
+                feat_test = tf["feats"]
+        else:
+            test_feats = []
+            count = 0
+            for x, _ in self.loaders[args.eval_split]:
+                x = np.asarray(x, np.float32)[: n - count]
+                for i in range(0, len(x), batch):
+                    chunk01 = (jnp.asarray(x[i : i + batch]) + 1.0) / 2.0
+                    test_feats.append(np.asarray(feature_fn(chunk01)))
+                count += len(x)
+                if count >= n:
+                    break
+            feat_test = np.concatenate(test_feats, axis=0)[:n]
+            _atomic_savez(tcache, feats=feat_test)
 
         # generated features via the flow ODE (dopri5 by default, the
-        # reference's metric sampler)
+        # reference's metric sampler).  Each chunk's features are persisted
+        # to a resume cache as soon as they are computed: an n=5000 dopri5
+        # run is hours of device time through the tunneled runtime, and a
+        # dropped connection must not zero it out.  The RNG key is split
+        # once per chunk regardless, so a resumed run reproduces the exact
+        # sample sequence of an uninterrupted one.
+        # the key deliberately excludes n: chunk i's samples depend only on
+        # (seed, batch, steps, sampler) — the per-chunk key splits form the
+        # same sequence for any n, and batch saturates at 50 for n >= 50 —
+        # so a partial n=5000 cache is a valid prefix for any smaller-n
+        # record (VERDICT r4 #1's partial-n fallback)
+        cache_dir = os.path.join(
+            args.output_root, "results", args.dataset, args.model,
+            "metric_cache",
+            "s{}_{}_{}_b{}_seed{}".format(
+                steps, sampler or getattr(args, "metric_sampler", "dopri5")
+                or "dopri5", feat_name.split("[")[0], batch,
+                int(getattr(args, "seed", 0) or 0),
+            ),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
         gen_feats = []
         gen_probs = []
+        resumed = 0
         key = jax.random.PRNGKey(int(getattr(args, "seed", 0) or 0))
         n_chunks = (n + batch - 1) // batch
         for i in range(n_chunks):
             key, sub = jax.random.split(key)
+            cpath = os.path.join(cache_dir, "chunk_{:05d}.npz".format(i))
+            if os.path.exists(cpath):
+                with np.load(cpath) as cf:
+                    gen_feats.append(cf["feats"])
+                    if "probs" in cf.files:
+                        gen_probs.append(cf["probs"])
+                resumed += 1
+                continue
             samples = self._sample_batch(sub, batch, steps, sampler)
             s01 = jnp.clip((samples + 1.0) / 2.0, 0.0, 1.0)
             if outputs_fn is not None:
                 f, p = outputs_fn(s01)
                 gen_feats.append(np.asarray(f))
                 gen_probs.append(np.asarray(p))
+                _atomic_savez(cpath, feats=gen_feats[-1], probs=gen_probs[-1])
             else:
                 gen_feats.append(np.asarray(feature_fn(s01)))
+                _atomic_savez(cpath, feats=gen_feats[-1])
             if (i + 1) % 10 == 0 or i + 1 == n_chunks:
                 print(
                     "  sampled {}/{} ({:.0f}s)".format(
@@ -367,6 +418,10 @@ class ComputeMetric:
             line += " wall_s {:.2f} peak_mem_MiB {:.1f} peak_mem_src {}".format(
                 wall_s, peak_mb, peak_src
             )
+            if resumed:
+                # wall_s measured only this process's work; `resumed` says
+                # how many chunks came from a prior run's cache
+                line += " resumed_chunks {}/{}".format(resumed, n_chunks)
             f.write(line + "\n")
         out = {"fid": fid, "kid": kid, "kid_std": kid_std,
                "vendi": vendi, "sw": sw,

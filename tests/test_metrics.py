@@ -326,6 +326,75 @@ def test_compute_metric_chunked_dopri5_and_mesh_batch(tmp_path):
     assert "pixels_32" in open(path).read()
 
 
+def test_compute_metric_resumes_from_chunk_cache(tmp_path):
+    """Per-chunk feature persistence: a re-run after an interruption loads
+    finished chunks from disk instead of re-sampling (the n=5000 dopri5
+    protocol is hours of device time through the tunneled runtime — a
+    dropped connection must not zero it out), reproduces the identical
+    metric values, and stamps a resumed_chunks token into metrics.txt."""
+    import os
+
+    from pnpflow_tpu.metrics.generative import ComputeMetric
+    from pnpflow_tpu.solvers.base import ModelBundle
+    from pnpflow_tpu.utils.config import CfgNode
+
+    bundle = ModelBundle(apply=lambda p, x, t: -x, params={}, kind="ot")
+    args = CfgNode(
+        dict(dataset="synthetic", model="ot", eval_split="test", seed=0,
+             output_root=str(tmp_path) + "/", dim_image=8, num_channels=1)
+    )
+    rng = np.random.default_rng(0)
+    batches = [
+        (rng.normal(size=(16, 8, 8, 1)).astype(np.float32), np.zeros(16))
+        for _ in range(2)
+    ]
+    cm = ComputeMetric({"test": batches}, bundle, args)
+
+    sample_calls = []
+    orig_sample = cm._sample_batch
+
+    def spying_sample(key, batch, steps, sampler=None):
+        sample_calls.append(batch)
+        return orig_sample(key, batch, steps, sampler)
+
+    cm._sample_batch = spying_sample
+    n = 24
+    with pytest.warns(UserWarning, match="pixel features"):
+        out1 = cm.compute_metrics(n, steps=20, sampler="euler")
+    calls_first = len(sample_calls)
+    assert calls_first > 0
+
+    # second run: every chunk comes from the cache, zero sampling calls,
+    # identical metric values
+    with pytest.warns(UserWarning, match="pixel features"):
+        out2 = cm.compute_metrics(n, steps=20, sampler="euler")
+    assert len(sample_calls) == calls_first
+    assert out2["fid"] == pytest.approx(out1["fid"], rel=1e-6)
+    assert out2["sw"] == pytest.approx(out1["sw"], rel=1e-6)
+
+    mpath = os.path.join(str(tmp_path), "results", "synthetic", "ot",
+                         "metrics.txt")
+    lines = open(mpath).read().splitlines()
+    assert "resumed_chunks" not in lines[0]
+    assert "resumed_chunks {}/{}".format(calls_first, calls_first) in lines[1]
+
+    # partial resume: drop one chunk file -> exactly one fresh sample call
+    cache_root = os.path.join(str(tmp_path), "results", "synthetic", "ot",
+                              "metric_cache")
+    sub = [d for d in os.listdir(cache_root) if d.startswith("s20_")][0]
+    victim = sorted(os.listdir(os.path.join(cache_root, sub)))[0]
+    os.remove(os.path.join(cache_root, sub, victim))
+    with pytest.warns(UserWarning, match="pixel features"):
+        out3 = cm.compute_metrics(n, steps=20, sampler="euler")
+    assert len(sample_calls) == calls_first + 1
+    assert out3["fid"] == pytest.approx(out1["fid"], rel=1e-6)
+
+    # a different protocol (steps) must not hit the same cache
+    with pytest.warns(UserWarning, match="pixel features"):
+        cm.compute_metrics(n, steps=10, sampler="euler")
+    assert len(sample_calls) > calls_first + 1
+
+
 def test_compute_metric_replica_invalidated_on_param_swap(tmp_path):
     """A bundle whose params object is swapped after the first sample must
     not keep sampling with the stale replicated copy (round-3 VERDICT
