@@ -218,9 +218,17 @@ def build_model_bundle(args, dtype=jnp.float32, params=None,
     kind = args.model
     if kind == "rectified":
         # t is scaled by 999 before hitting NCSN++ (reference
-        # pnp_flow.py:23-27, models/utils.py:106-135)
+        # pnp_flow.py:23-27, models/utils.py:106-135), floored at the
+        # reference's own RF integration epsilon (sde_lib.py:45,
+        # sampling.py:44: "only integrated to eps for numerical
+        # stability", eps=1e-3): the fourier embedding takes log(t·999)
+        # and scale_by_sigma divides by t·999, so t=0 — which pnp_flow's
+        # first iteration feeds (t1 = delta·0, pnp_flow.py:107-108) — is
+        # NaN in the torch reference too (0/0 through the zero-init
+        # head; verified against the mounted reference).  Flooring only
+        # changes the t=0 point, where the reference has no finite value.
         def apply(p, x, t):
-            return module.apply(p, x, t * 999.0)
+            return module.apply(p, x, jnp.maximum(t, 1e-3) * 999.0)
     else:
         def apply(p, x, t):
             return module.apply(p, x, t)

@@ -125,6 +125,40 @@ def test_bundle_rectified_scales_t(tmp_path):
     assert float(calls["t"][0]) == pytest.approx(499.5)
 
 
+def test_bundle_rectified_floors_t_at_reference_eps(tmp_path, monkeypatch):
+    """The rectified adapter floors t at the reference's RF integration
+    epsilon (sde_lib.py:45 / sampling.py:44, eps=1e-3) before the *999
+    scaling: pnp_flow's first iteration feeds t=0 (pnp_flow.py:107-108),
+    where fourier(log(t*999)) and the scale_by_sigma division are NaN in
+    the torch reference as well — the floor is the reference's own
+    stability contract applied to the one point it leaves undefined."""
+    import pnpflow_tpu.models.ncsnpp as ncsnpp_mod
+
+    seen = {}
+
+    class FakeModule:
+        def init(self, key, x, t):
+            return {"params": {}}
+
+        def apply(self, p, x, t):
+            seen["t"] = t
+            return x
+
+    monkeypatch.setattr(
+        ncsnpp_mod, "make_ncsnpp", lambda args, dtype: FakeModule()
+    )
+    args = _args(tmp_path, dim=8, model="rectified")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        b = build_model_bundle(args)
+
+    x = jnp.zeros((2, 8, 8, 1))
+    b.apply(b.params, x, jnp.zeros((2,)))
+    assert float(seen["t"][0]) == pytest.approx(0.999)  # floored, not 0
+    b.apply(b.params, x, jnp.full((2,), 0.5))
+    assert float(seen["t"][0]) == pytest.approx(499.5)  # unchanged above eps
+
+
 def test_load_torch_checkpoint_roundtrip(tmp_path):
     torch = pytest.importorskip("torch")
     from pnpflow_tpu.utils.torch_convert import load_torch_checkpoint
