@@ -100,10 +100,19 @@ def main():
     key = jax.random.key(1, impl=RNG_IMPL)
     start = jnp.asarray(0, dtype=jnp.int32)
 
-    # Optional TPU-backend compiler options (libtpu-only flags are rejected
-    # by the client-side XLA_FLAGS parser, so they must ride the compile
-    # call), e.g. BENCH_COMPILER_OPTS="xla_tpu_scoped_vmem_limit_kib=65536".
-    copts = os.environ.get("BENCH_COMPILER_OPTS", "")
+    # TPU-backend compiler options (libtpu-only flags are rejected by the
+    # client-side XLA_FLAGS parser, so they must ride the compile call),
+    # override via BENCH_COMPILER_OPTS="k=v,..." (BENCH_COMPILER_OPTS=""
+    # restores the compiler defaults).  Shipping default: rwb
+    # (reduce-window-broadcast) fusion OFF — the round-5 flag sweep
+    # measured 12.556 img/s vs 11.95 with the default fusion pipeline
+    # (+5.1%, reproduced twice, the only lever of 14 A/Bs across four
+    # rounds that beat the plateau): the GN moment reduces that dominate
+    # the step (49% of time, BASELINE.md round-2 trace) schedule better
+    # unfused from their broadcast consumers on this toolchain.
+    copts = os.environ.get(
+        "BENCH_COMPILER_OPTS", "xla_tpu_rwb_fusion=false"
+    )
     if copts:
         opts = dict(kv.split("=", 1) for kv in copts.split(","))
         compiled = solve.lower(
