@@ -90,6 +90,22 @@ def main():
     reduce = jax.jit(jnp.mean)
     zero = jnp.int32(0)
 
+    # Same per-compile backend-option hook as bench.py (libtpu-only flags
+    # are rejected by the client-side XLA_FLAGS parser): both step counts
+    # of the two-point fit are pre-compiled with the requested options.
+    copts = os.environ.get("BENCH_COMPILER_OPTS", "")
+    if copts:
+        opts = dict(kv.split("=", 1) for kv in copts.split(","))
+        uncompiled = solve
+        compiled = {
+            n: solve.lower(
+                params, y, x_init, keys[0], zero, n
+            ).compile(compiler_options=opts)
+            for n in (STEPS, 4 * STEPS)
+        }
+        solve = lambda p, yy, x, k, s, n: compiled[n](p, yy, x, k, s)
+        solve.lower = uncompiled.lower  # keep cost_analysis working
+
     def timed(n_steps, seed_off):
         out = solve(params, y, x_init, keys[0], zero, n_steps)  # warm/compile
         float(reduce(out))
