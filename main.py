@@ -70,7 +70,17 @@ def main():
         print("Training done!")
 
     if args.eval:
-        bundle = build_model_bundle(args)
+        # --opts bf16 True: run solver inference in bfloat16 (params stay
+        # fp32 on disk; compute + norms ride bf16 — the bench.py headline
+        # configuration, ~1.7x the fp32 throughput at 64². Default fp32
+        # preserves the reference-parity numerics.)
+        import jax.numpy as jnp
+
+        dtype = (
+            jnp.bfloat16 if bool(getattr(args, "bf16", False))
+            else jnp.float32
+        )
+        bundle = build_model_bundle(args, dtype=dtype)
 
         if args.compute_metrics:
             print("Computing metrics...")

@@ -40,6 +40,10 @@ def define_model(args, dtype=jnp.float32):
             num_res_blocks=6,
             attn_resolutions=attn,
             dtype=dtype,
+            # bf16 norms with bf16 compute: the measured-fastest headline
+            # configuration (BASELINE.md batch sweep — bf16-norm 11.94 vs
+            # fp32-norm 10.92 img/s); fp32 compute keeps fp32 norms.
+            norm_dtype=dtype if dtype == jnp.bfloat16 else None,
         )
     if args.model == "rectified":
         from pnpflow_tpu.models.ncsnpp import make_ncsnpp

@@ -22,12 +22,15 @@ through (checkpointed per step to bound memory).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import optax
 
 from pnpflow_tpu.solvers.base import Solver
 from pnpflow_tpu.ops.ode import odeint_dopri5
+from pnpflow_tpu.utils.jax_setup import default_compiler_options
 
 
 def make_forward_flow(model_apply, steps_euler: int, start_time: float):
@@ -82,7 +85,7 @@ def make_d_flow_solver(
         linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=25),
     )
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=default_compiler_options())
     def solve(params, y, z):
         d = z.shape[1] * z.shape[2] * z.shape[3]
 

@@ -25,11 +25,14 @@ utils.py:243-270 (rand<0.5 -> ±1); the whole N*K loop is a nested
 from __future__ import annotations
 
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import optax
 
 from pnpflow_tpu.solvers.base import Solver
+from pnpflow_tpu.utils.jax_setup import default_compiler_options
 
 
 def hutchinson_trace(model_fwd, x, t_vec, key, n_probes: int = 1):
@@ -70,7 +73,7 @@ def make_flow_priors_solver(
         t_vec = jnp.full((x.shape[0],), t, dtype=jnp.float32)
         return model_apply(params, x, t_vec)
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=default_compiler_options())
     def solve(params, y, h_x_init, x, key):
         fwd = lambda z, t: model_fwd(params, z, t)
 

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from pnpflow_tpu.solvers.base import Solver
+from pnpflow_tpu.utils.jax_setup import default_compiler_options
 
 _MASK_PROBLEMS = ("inpainting", "random_inpainting", "paintbrush_inpainting")
 
@@ -101,7 +102,8 @@ def make_ot_ode_solver(
             return jnp.sqrt(t / (t**2 + (1.0 - t) ** 2))
         raise ValueError("Unknown gamma: {}".format(gamma))
 
-    @partial(jax.jit, static_argnames=("n_iters",))
+    @partial(jax.jit, static_argnames=("n_iters",),
+             compiler_options=default_compiler_options())
     def solve(params, y, x, key, start_iter, n_iters):
         del key  # iteration is deterministic
 

@@ -25,10 +25,13 @@ prox branch is resolved at trace time.
 from __future__ import annotations
 
 import numpy as np
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 from pnpflow_tpu.solvers.base import Solver
+from pnpflow_tpu.utils.jax_setup import default_compiler_options
 
 _MASK_PROBLEMS = ("inpainting", "random_inpainting", "paintbrush_inpainting")
 _T = 1000
@@ -136,7 +139,7 @@ def make_diffpir_solver(
     ts_j = jnp.asarray(seq_desc)
     ts_next_j = jnp.asarray(seq_next)
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=default_compiler_options())
     def solve(params, y01, key):
         x0_init = 2.0 * H_adj(y01) - 1.0
         key, sub = jax.random.split(key)

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from pnpflow_tpu.solvers.base import Solver
+from pnpflow_tpu.utils.jax_setup import default_compiler_options
 
 
 def _gamma(style: str, lr, t, alpha: float):
@@ -97,7 +98,8 @@ def make_pnp_flow_solver(
         denoised = flat + (1.0 - t) * v
         return jnp.mean(denoised.reshape(num_samples, b, h, w, c), axis=0)
 
-    @partial(jax.jit, static_argnames=("n_iters",))
+    @partial(jax.jit, static_argnames=("n_iters",),
+             compiler_options=default_compiler_options())
     def solve(params, y, x, key, start_iter, n_iters):
         def step(x, i):
             t = (start_iter + i).astype(jnp.float32) * delta

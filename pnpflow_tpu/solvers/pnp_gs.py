@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from pnpflow_tpu.solvers.base import Solver
 from pnpflow_tpu.training.denoiser import make_calculate_grad
 from pnpflow_tpu.ops.degradations import Superresolution
+from pnpflow_tpu.utils.jax_setup import default_compiler_options
 
 
 def _splits_mean(a, sf):
@@ -151,7 +152,8 @@ def make_pnp_gs_solver(
             "Unsupported pnp_gs algo/problem: {}/{}".format(algo, problem)
         )
 
-    @partial(jax.jit, static_argnames=("n_iters",))
+    @partial(jax.jit, static_argnames=("n_iters",),
+             compiler_options=default_compiler_options())
     def solve(params, y, x, alpha_c, start_iter, n_iters):
         def body(carry, k):
             x, alpha_c = carry

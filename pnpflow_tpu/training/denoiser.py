@@ -19,12 +19,15 @@ import os
 import random as _pyrandom
 
 import numpy as np
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import optax
 from flax import serialization
 
 from pnpflow_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from pnpflow_tpu.utils.jax_setup import default_compiler_options
 
 
 def make_calculate_grad(model_apply):
@@ -170,7 +173,7 @@ class GradientStepTrainer:
             mse_batch = jnp.mean((x_hat - y) ** 2)
             return loss, mse_batch
 
-        @jax.jit
+        @partial(jax.jit, compiler_options=default_compiler_options())
         def train_step(state, y, sigma, key):
             (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state["params"], y, sigma, key

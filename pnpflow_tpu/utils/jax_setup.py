@@ -47,3 +47,32 @@ def commit_tree(tree, device=None):
         tree = jax.jit(lambda t: t)(tree)
     jax.block_until_ready(tree)
     return tree
+
+
+def default_compiler_options() -> dict | None:
+    """Backend compiler options for the framework's hot jits.
+
+    The round-5 flag sweep measured ``xla_tpu_rwb_fusion=false`` at
+    +5.1% on the 64² pnp_flow protocol (12.556 vs 11.95 img/s/chip,
+    reproduced x3; no change at 256² — BASELINE.md), the only lever of
+    14 A/Bs across five rounds to beat the plateau: the GroupNorm moment
+    reduces schedule better unfused from their broadcast consumers.
+
+    Returns None off-TPU (libtpu options are rejected by other
+    backends, and the tests run on the CPU mesh).  Override with
+    ``PNPFLOW_COMPILER_OPTS="k=v,..."``; the empty string disables all
+    options (compiler defaults).
+    """
+    env = os.environ.get("PNPFLOW_COMPILER_OPTS")
+    if env is not None:
+        env = env.strip()
+        if not env:
+            return None
+        return dict(kv.split("=", 1) for kv in env.split(","))
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - backend init failure
+        return None
+    if platform != "tpu":
+        return None
+    return {"xla_tpu_rwb_fusion": "false"}

@@ -207,3 +207,15 @@ def test_remat_bundle_matches_and_differentiates(tmp_path):
     fr = jax.tree_util.tree_leaves(gr)[0]
     np.testing.assert_allclose(np.asarray(fp), np.asarray(fr), rtol=1e-5,
                                atol=1e-7)
+
+
+def test_define_model_bf16_threads_norm_dtype(tmp_path):
+    """dtype=bf16 selects bf16 norms too (the measured-fastest headline
+    configuration, BASELINE.md batch sweep); fp32 keeps fp32 norms."""
+    from pnpflow_tpu.models.registry import define_model
+
+    args = _args(tmp_path, dim=16)
+    m16 = define_model(args, dtype=jnp.bfloat16)
+    assert m16.dtype == jnp.bfloat16 and m16.norm_dtype == jnp.bfloat16
+    m32 = define_model(args, dtype=jnp.float32)
+    assert m32.dtype == jnp.float32 and m32.norm_dtype is None

@@ -196,3 +196,19 @@ def test_commit_tree_preserves_values_and_structure():
     assert float(out["nested"]["s"]) == 2.5
     # outputs are jax Arrays resident on the default device
     assert out["w"].devices() == {jax.devices()[0]}
+
+
+def test_default_compiler_options_cpu_and_env(monkeypatch):
+    """On the CPU test mesh the TPU-only default must be suppressed
+    (libtpu options are rejected by other backends); the env override
+    parses k=v lists and the empty string restores compiler defaults."""
+    from pnpflow_tpu.utils.jax_setup import default_compiler_options
+
+    monkeypatch.delenv("PNPFLOW_COMPILER_OPTS", raising=False)
+    assert default_compiler_options() is None  # cpu platform
+
+    monkeypatch.setenv("PNPFLOW_COMPILER_OPTS", "a=b,c=d=e")
+    assert default_compiler_options() == {"a": "b", "c": "d=e"}
+
+    monkeypatch.setenv("PNPFLOW_COMPILER_OPTS", "")
+    assert default_compiler_options() is None
